@@ -1,0 +1,88 @@
+"""Public rasterization API: preprocess -> binning -> tile blend.
+
+Mirrors the surface of the reference GaussianRasterizer
+(diff_gaussian_rasterization/__init__.py:192-241) as a pure function. Backends:
+  - "tiled":     pure-XLA tiled blend with hand-derived VJP (CPU+TPU)
+  - "pallas":    Pallas TPU kernels (same binning; fastest)
+  - "reference": O(N*H*W) oracle (tests only)
+"""
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cameras import CameraParams
+from .gaussians import preprocess, compute_cov3d
+from .binning import bin_gaussians, BinningResult
+from .rasterize_tiled import make_grid, rasterize_tiled, TileGrid
+from .rasterize_reference import rasterize_reference
+
+
+class RasterizeResult(NamedTuple):
+    color: jnp.ndarray        # [H,W,3]
+    final_T: jnp.ndarray      # [H,W]  (accumulation = 1 - final_T)
+    radii: jnp.ndarray        # [N] int32 (visibility_filter = radii > 0)
+    num_rendered: jnp.ndarray  # [] int32
+    overflow: jnp.ndarray     # [] int32 truncated-rect count
+
+
+def rasterize_gaussians(means3d: jnp.ndarray,
+                        scales: jnp.ndarray,
+                        rotations: jnp.ndarray,
+                        opacities: jnp.ndarray,
+                        colors: jnp.ndarray,
+                        camera: CameraParams,
+                        width: int, height: int,
+                        *,
+                        kernel_size: float,
+                        absgrad_hook: Optional[jnp.ndarray] = None,
+                        alive: Optional[jnp.ndarray] = None,
+                        bg: Optional[jnp.ndarray] = None,
+                        backend: str = "tiled",
+                        tile_size: int = 16,
+                        max_tiles_per_gaussian: int = 64,
+                        chunk: int = 256,
+                        batch_tiles: int = 64,
+                        scale_modifier: float = 1.0) -> RasterizeResult:
+    """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
+    reference __init__.py:208-241 — always called with colors_precomp in the
+    reference method, method.py:1574-1608).
+
+    opacities: [N] post-activation (incl. 3D-filter compensation);
+    colors: [N,3] precomputed (SH already evaluated).
+    """
+    n = means3d.shape[0]
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    if absgrad_hook is None:
+        absgrad_hook = jnp.zeros((n,), jnp.float32)
+
+    cov3d = compute_cov3d(scales, rotations, scale_modifier)
+    pre = preprocess(means3d, cov3d, opacities, camera, width, height,
+                     kernel_size, tile_size=tile_size, alive=alive)
+
+    if backend == "reference":
+        color, final_t = rasterize_reference(
+            pre.mean2d, pre.depth, pre.conic, pre.opacity, colors, pre.valid,
+            pre.rect_min, pre.rect_max, width=width, height=height, bg=bg,
+            tile_size=tile_size)
+        return RasterizeResult(color, final_t, pre.radius,
+                               jnp.sum(pre.tiles_touched), jnp.int32(0))
+
+    grid = make_grid(width, height, tile_size)
+    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian)
+    if backend == "tiled":
+        color, final_t = rasterize_tiled(
+            pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
+            binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
+            grid=grid, chunk=chunk, batch_tiles=batch_tiles)
+    elif backend == "pallas":
+        from .rasterize_pallas import rasterize_pallas
+        color, final_t = rasterize_pallas(
+            pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
+            binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
+            grid=grid, chunk=chunk)
+    else:
+        raise ValueError(f"Unknown rasterizer backend: {backend}")
+    return RasterizeResult(color, final_t, pre.radius,
+                           binning.num_rendered, binning.overflow)
