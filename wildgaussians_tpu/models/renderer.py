@@ -1,0 +1,129 @@
+"""Differentiable scene render: activations + SH + appearance + rasterize.
+
+The jit-side analogue of GaussianModel._render_internal (reference
+method.py:1479-1632): builds camera matrices on device, evaluates SH colors,
+optionally tones them through the appearance MLP, and rasterizes up to three
+times per step (raw / toned / depth) sharing one preprocess+binning.
+"""
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..cameras import CameraParams, make_camera_params_jax
+from ..config import Config
+from ..ops.sh import eval_sh_switch
+from ..ops.gaussians import preprocess, compute_cov3d
+from ..ops.binning import bin_gaussians
+from ..ops.rasterize_tiled import make_grid, rasterize_tiled
+from .appearance import apply_mlp
+
+
+class RenderPkg(NamedTuple):
+    render: jnp.ndarray            # [H,W,3] (toned if appearance enabled)
+    raw_render: jnp.ndarray        # [H,W,3]
+    accumulation: jnp.ndarray      # [H,W] = 1 - final_T
+    radii: jnp.ndarray             # [N]
+    depth: Optional[jnp.ndarray]   # [H,W] or None
+    num_rendered: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def render_internal(gaussians: Dict[str, jnp.ndarray],
+                    params: dict,
+                    aux_active_sh: jnp.ndarray,
+                    alive: jnp.ndarray,
+                    config: Config,
+                    pose: jnp.ndarray, intrinsics: jnp.ndarray,
+                    width: int, height: int,
+                    *,
+                    embedding: Optional[jnp.ndarray],
+                    kernel_size: float,
+                    mean2d_hook: Optional[jnp.ndarray] = None,
+                    absgrad_hook: Optional[jnp.ndarray] = None,
+                    render_depth: bool = False,
+                    return_raw: bool = True,
+                    actual_size: Optional[tuple] = None,
+                    backend: str = "tiled",
+                    chunk: int = 256,
+                    batch_tiles: int = 64,
+                    max_tiles_per_gaussian: int = 64) -> RenderPkg:
+    """One camera render. `gaussians` are post-activation (get_gaussians).
+
+    width/height may be padded to the compile-shape; `actual_size` (w,h)
+    preserves the reference's tan_fov (EWA clamp limits, method.py:1522-1525).
+    """
+    camera = make_camera_params_jax(pose, intrinsics, width, height)
+    if actual_size is not None:
+        aw, ah = actual_size
+        fx, fy = intrinsics[0], intrinsics[1]
+        camera = camera._replace(tan_fov=jnp.stack([aw / (2.0 * fx), ah / (2.0 * fy)]).astype(jnp.float32))
+
+    means3d = gaussians["xyz"]
+    n = means3d.shape[0]
+    opacities = gaussians["opacities"][:, 0]
+    features = jnp.minimum(gaussians["features"], 1.0)  # method.py:1555
+
+    dirs = means3d - camera.campos[None]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+    shdim = (config.sh_degree + 1) ** 2
+    if features.shape[-1] == 3:
+        colors = features
+    else:
+        shs = features.reshape(n, shdim, 3).transpose(0, 2, 1)
+        colors = jnp.maximum(eval_sh_switch(aux_active_sh, config.sh_degree, shs, dirs) + 0.5, 0.0)
+
+    if mean2d_hook is None:
+        mean2d_hook = jnp.zeros((n, 2), jnp.float32)
+    if absgrad_hook is None:
+        absgrad_hook = jnp.zeros((n,), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+
+    # shared preprocess + binning for all passes (identical geometry)
+    cov3d = compute_cov3d(gaussians["scales"], gaussians["rotations"])
+    pre = preprocess(means3d, cov3d, opacities, camera, width, height,
+                     kernel_size, tile_size=16, alive=alive)
+    pre = pre._replace(mean2d=pre.mean2d + mean2d_hook)
+    grid = make_grid(width, height, 16)
+    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian)
+
+    def blend(cols):
+        return rasterize_tiled(pre.mean2d, pre.conic, pre.opacity, cols,
+                               absgrad_hook, binning.sorted_gidx,
+                               binning.tile_starts, binning.tile_counts, bg,
+                               grid=grid, chunk=chunk, batch_tiles=batch_tiles)
+
+    raw_img = None
+    accumulation = None
+    if not config.appearance_enabled or (config.appearance_separate_tuned_color and return_raw):
+        raw_img, final_t = blend(colors)
+        accumulation = 1.0 - final_t
+        rendered = raw_img
+
+    if config.appearance_enabled:
+        assert embedding is not None
+        emb_expanded = jnp.broadcast_to(embedding[None], (n, embedding.shape[0]))
+        toned = apply_mlp(params["appearance_mlp"], params["embeddings"],
+                          emb_expanded, features)
+        toned = jnp.minimum(toned, 1.0)
+        shs_t = toned.reshape(n, shdim, 3).transpose(0, 2, 1)
+        shs_t = jnp.minimum(shs_t, 1.0)
+        colors_toned = jnp.maximum(
+            eval_sh_switch(aux_active_sh, config.sh_degree, shs_t, dirs) + 0.5, 0.0)
+        rendered, final_t2 = blend(colors_toned)
+        if accumulation is None:
+            accumulation = 1.0 - final_t2
+        if raw_img is None:
+            raw_img = rendered
+
+    depth = None
+    if render_depth:
+        dist = jnp.linalg.norm(means3d - camera.campos[None], axis=-1)
+        dimg, _ = blend(jnp.tile(dist[:, None], (1, 3)))
+        depth = dimg[..., 0]
+
+    return RenderPkg(render=rendered, raw_render=raw_img,
+                     accumulation=accumulation, radii=pre.radius,
+                     depth=depth, num_rendered=binning.num_rendered,
+                     overflow=binning.overflow)

@@ -1,0 +1,574 @@
+"""WildGaussians Method implementation (TPU-native).
+
+Implements the NerfBaselines Method protocol (reference method.py:1635-2042)
+on top of the fixed-capacity store: the whole train iteration — camera gather,
+render (two passes), losses, backward, Adam — is ONE jitted program; the host
+loop only schedules densify/prune/reset (each its own jitted fixed-shape
+function), logging and checkpoints.
+"""
+import dataclasses
+import functools
+import logging
+import math
+import os
+import random
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config_yaml, merge_config, config_to_yaml, config_from_yaml_str
+from ..cameras import get_cameras_extent
+from ..types import (Cameras, Dataset, MethodInfo, ModelInfo, RenderOutput,
+                     OptimizeEmbeddingOutput, camera_model_to_int)
+from ..ops.knn import mean_knn_dist2
+from ..ops.ssim import ssim
+from ..utils import convert_image_dtype
+from . import gaussian_store as gs
+from .appearance import init_mlp
+from .renderer import render_internal
+from .sky import get_sky_points
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w, *img.shape[2:]), img.dtype)
+    out[:img.shape[0], :img.shape[1]] = img
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def scale_grads(values, scale):
+    """Gradient scaling trick (reference method.py:120-123)."""
+    return values * scale + jax.lax.stop_gradient(values) * (1 - scale)
+
+
+class WildGaussians:
+    """Method protocol implementation (reference types.py:316-406)."""
+
+    def __init__(self, *,
+                 checkpoint: Optional[str] = None,
+                 train_dataset: Optional[Dataset] = None,
+                 config_overrides: Optional[Dict[str, Any]] = None):
+        self.checkpoint = checkpoint
+        self.step = 0
+        self._loaded_step = None
+        self.config = Config()
+
+        load_state = None
+        if checkpoint is not None:
+            if not os.path.exists(checkpoint):
+                raise RuntimeError(f"Model directory {checkpoint} does not exist")
+            with open(os.path.join(checkpoint, "config.yaml"), encoding="utf8") as f:
+                self.config = config_from_yaml_str(f.read())
+            steps = sorted(int(x[x.find("-") + 1:x.find(".")])
+                           for x in os.listdir(checkpoint) if x.startswith("chkpnt-"))
+            self._loaded_step = self.step = steps[-1]
+            load_state = np.load(os.path.join(checkpoint, f"chkpnt-{self.step}.npz"),
+                                 allow_pickle=True)
+        elif config_overrides is not None:
+            config_overrides = dict(config_overrides)
+            config_file = config_overrides.pop("config", "default.yml")
+            config_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "..", "configs", config_file)
+            self.config = load_config_yaml(config_path)
+            self.config = merge_config(self.config, config_overrides)
+
+        random.seed(0)
+        np.random.seed(0)
+        self._np_rng = np.random.default_rng(self.config.seed)
+        self._key = jax.random.PRNGKey(self.config.seed)
+        self._viewpoint_stack = []
+        self.train_cameras: Optional[Cameras] = None
+        self.cameras_extent: Optional[float] = None
+        self._sky_distance = None
+        self._uncertainty = None
+
+        if self.config.uncertainty_mode != "disabled":
+            from .uncertainty import UncertaintyModel
+            self._uncertainty = UncertaintyModel(self.config)
+
+        if train_dataset is not None:
+            self._setup_train(train_dataset, load_state)
+        elif load_state is not None:
+            self._load_state(load_state)
+
+    # ------------------------------------------------------------------ setup
+
+    def _setup_train(self, train_dataset: Dataset, load_state):
+        points3d_xyz = train_dataset["points3D_xyz"]
+        points3d_rgb = train_dataset["points3D_rgb"]
+        assert points3d_xyz is not None and points3d_rgb is not None
+        opacities = 0.1 * np.ones(len(points3d_xyz), np.float32)
+
+        if self.config.num_sky_gaussians:
+            skybox, self._sky_distance = get_sky_points(
+                self.config.num_sky_gaussians, points3d_xyz, train_dataset["cameras"])
+            skycolor = np.array([[237, 247, 252]], np.uint8).repeat(skybox.shape[0], axis=0)
+            logger.info("Adding skybox with %d points", skybox.shape[0])
+            points3d_xyz = np.concatenate([points3d_xyz, skybox])
+            points3d_rgb = np.concatenate([points3d_rgb, skycolor])
+            opacities = np.concatenate([opacities, np.ones(skybox.shape[0], np.float32)])
+
+        self.cameras_extent = get_cameras_extent(train_dataset["cameras"])
+        self.train_cameras = train_dataset["cameras"]
+        images = train_dataset["images"]
+        masks = train_dataset.get("masks")
+
+        sizes = np.asarray(self.train_cameras.image_sizes)
+        self._pad_w = _round_up(int(sizes[:, 0].max()), 16)
+        self._pad_h = _round_up(int(sizes[:, 1].max()), 16)
+        self._train_images = [
+            _pad_to(convert_image_dtype(img, np.float32)[..., :3], self._pad_h, self._pad_w)
+            for img in images]
+        self._train_masks = None
+        if masks is not None:
+            self._train_masks = [
+                _pad_to(convert_image_dtype(m, np.float32)[..., None], self._pad_h, self._pad_w)[..., 0]
+                for m in masks]
+        self._pixmask = [
+            _pad_to(np.ones((int(s[1]), int(s[0]), 1), np.float32), self._pad_h, self._pad_w)[..., 0]
+            for s in sizes]
+
+        # stacked camera tensors for in-jit gather
+        self._poses_dev = jnp.asarray(np.stack([np.asarray(c, np.float32) for c in self.train_cameras.poses]))
+        self._intr_dev = jnp.asarray(np.asarray(self.train_cameras.intrinsics, np.float32))
+        self._sizes_dev = jnp.asarray(sizes.astype(np.float32))
+
+        if load_state is None:
+            n = points3d_xyz.shape[0]
+            capacity = self.config.initial_capacity or _round_up(
+                max(int(n * self.config.capacity_growth_factor), n + 1024), 256)
+            knn_d2 = np.asarray(mean_knn_dist2(jnp.asarray(points3d_xyz.astype(np.float32))))
+            self.params, self.aux = gs.init_params_from_points(
+                self.config, points3d_xyz, points3d_rgb, opacities, capacity,
+                len(self.train_cameras), knn_d2, self._np_rng)
+            if self.config.appearance_enabled:
+                self.params["appearance_mlp"] = init_mlp(self._np_rng, self.config)
+            if self._uncertainty is not None:
+                self.params["uncertainty"] = self._uncertainty.init_params(self._np_rng)
+            self.adam = gs.init_adam(self.params)
+            self.spatial_lr_scale = float(self.cameras_extent)
+        else:
+            self._load_state(load_state)
+
+        self._refresh_filter()
+        if self._uncertainty is not None:
+            self._uncertainty.setup_data(self._train_images)
+
+    def _refresh_filter(self):
+        filt = gs.compute_3d_filter(self.params["xyz"], self.aux.alive,
+                                    self._poses_dev, self._intr_dev, self._sizes_dev)
+        self.aux = self.aux._replace(filter_3D=filt)
+
+    # ------------------------------------------------------------- jitted step
+
+    @functools.cached_property
+    def _train_step_fn(self):
+        config = self.config
+        use_abs = config.use_gof_abs_gradient
+        lambda_dssim = config.lambda_dssim
+        pad_w, pad_h = self._pad_w, self._pad_h
+        spatial_lr_scale = self.spatial_lr_scale
+
+        def loss_and_render(params, m2d_hook, abs_hook, aux, camera_id, pose,
+                            intr, actual_size, gt, pixmask, loss_mult, mask):
+            gaussians = gs.get_gaussians(params, aux, config)
+            embedding = (params["appearance_embeddings"][camera_id]
+                         if config.appearance_enabled else None)
+            pkg = render_internal(
+                gaussians, params, aux.active_sh_degree, aux.alive, config,
+                pose, intr, pad_w, pad_h, embedding=embedding,
+                kernel_size=config.kernel_size, mean2d_hook=m2d_hook,
+                absgrad_hook=abs_hook, actual_size=actual_size)
+            image_toned = pkg.render * pixmask[..., None]
+            image = pkg.raw_render * pixmask[..., None]
+            if mask is not None:
+                image = scale_grads(image, mask[..., None])
+                image_toned = scale_grads(image_toned, mask[..., None])
+
+            npix = jnp.sum(pixmask)
+            l1_map = jnp.abs(image_toned - gt)
+            ssim_map = ssim(image, gt, size_average=False)  # [H,W]
+            l1_w = jnp.sum(l1_map * (loss_mult * pixmask)[..., None]) / (npix * 3)
+            dssim_w = jnp.sum((1.0 - ssim_map) * loss_mult * pixmask) / npix
+            loss = (1.0 - lambda_dssim) * l1_w + lambda_dssim * dssim_w
+
+            mse = jnp.sum(jnp.square(image_toned - gt) * pixmask[..., None]) / (npix * 3)
+            metrics = {
+                "loss": loss,
+                "l1_loss": jnp.sum(l1_map * pixmask[..., None]) / (npix * 3),
+                "ssim": jnp.sum(ssim_map * pixmask) / npix,
+                "mse": mse,
+                "psnr": -10.0 * jnp.log10(mse),
+            }
+            return loss, (pkg, metrics)
+
+        def train_step(params, adam, aux, camera_id, gt, pixmask, loss_mult,
+                       mask, iteration, densify_enabled, poses, intrs, sizes):
+            pose = poses[camera_id]
+            intr = intrs[camera_id]
+            actual_size = (sizes[camera_id, 0], sizes[camera_id, 1])
+            n = params["xyz"].shape[0]
+            m2d_hook = jnp.zeros((n, 2), jnp.float32)
+            abs_hook = jnp.zeros((n,), jnp.float32)
+
+            grad_fn = jax.grad(loss_and_render, argnums=(0, 1, 2), has_aux=True)
+            (gparams, g_m2d, g_abs), (pkg, metrics) = grad_fn(
+                params, m2d_hook, abs_hook, aux, camera_id, pose, intr,
+                actual_size, gt, pixmask, loss_mult, mask)
+
+            # densification stats (reference method.py:1995-1998)
+            def upd(aux):
+                return gs.update_densification_stats(aux, g_m2d, g_abs,
+                                                     pkg.radii, use_abs)
+            aux = jax.lax.cond(densify_enabled, upd, lambda a: a, aux)
+
+            lrs = gs.param_learning_rates(config, spatial_lr_scale, iteration)
+            wd = None
+            if config.appearance_enabled and config.appearance_embedding_regularization:
+                wd = {"appearance_embeddings": config.appearance_embedding_regularization}
+            params, adam = gs.adam_update(params, gparams, adam, lrs,
+                                          weight_decay=wd)
+            metrics["num_rendered"] = pkg.num_rendered
+            metrics["overflow"] = pkg.overflow
+            return params, adam, aux, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2),
+                       static_argnames=())
+
+    @functools.cached_property
+    def _densify_fn(self):
+        config = self.config
+
+        def run(key, params, adam, aux, extent, enable_size_pruning):
+            return gs.densify_and_prune(key, params, adam, aux, config,
+                                        extent, enable_size_pruning)
+        return jax.jit(run, donate_argnums=(1, 2, 3))
+
+    @functools.cached_property
+    def _reset_opacity_fn(self):
+        config = self.config
+
+        def run(params, adam, aux):
+            return gs.reset_opacity(params, adam, aux, config)
+        return jax.jit(run, donate_argnums=(0, 1))
+
+    # --------------------------------------------------------------- protocol
+
+    @classmethod
+    def get_method_info(cls) -> MethodInfo:
+        return MethodInfo(
+            method_id="wild-gaussians-tpu",
+            required_features=frozenset(("color", "points3D_xyz")),
+            supported_camera_models=frozenset(("pinhole",)),
+        )
+
+    def get_info(self) -> ModelInfo:
+        return ModelInfo(
+            **self.get_method_info(),
+            num_iterations=self.config.iterations,
+            loaded_step=self._loaded_step,
+        )
+
+    def train_iteration(self, step: int):
+        assert self.train_cameras is not None, "Method not initialized"
+        self.step = step
+        iteration = step + 1
+
+        # SH warmup (method.py:1894-1895)
+        if iteration % 1000 == 0:
+            new_deg = jnp.minimum(self.aux.active_sh_degree + 1, self.config.sh_degree)
+            self.aux = self.aux._replace(active_sh_degree=new_deg)
+
+        if not self._viewpoint_stack:
+            self._viewpoint_stack = list(range(len(self.train_cameras)))
+        camera_id = self._viewpoint_stack.pop(random.randint(0, len(self._viewpoint_stack) - 1))
+
+        gt = jnp.asarray(self._train_images[camera_id])
+        pixmask = jnp.asarray(self._pixmask[camera_id])
+        mask = (jnp.asarray(self._train_masks[camera_id])
+                if self._train_masks is not None else None)
+
+        uncertainty_metrics = {}
+        loss_mult = jnp.ones_like(pixmask)
+        if self._uncertainty is not None:
+            u_loss_value, uncertainty_metrics, loss_mult, u_grads = \
+                self._uncertainty.loss_and_grads_for_step(
+                    self, camera_id, gt, pixmask, iteration)
+            # folded into params update inside uncertainty module
+        loss_mult = self._apply_uncertainty_warmup(loss_mult, iteration)
+
+        densify_enabled = iteration < self.config.densify_until_iter
+        self.params, self.adam, self.aux, metrics = self._train_step_fn(
+            self.params, self.adam, self.aux, jnp.int32(camera_id), gt,
+            pixmask, loss_mult, mask, jnp.float32(iteration),
+            jnp.bool_(densify_enabled), self._poses_dev, self._intr_dev,
+            self._sizes_dev)
+
+        # host-side densification scheduling (method.py:1994-2015)
+        if densify_enabled:
+            if (iteration > self.config.densify_from_iter
+                    and iteration % self.config.densification_interval == 0):
+                self._key, sub = jax.random.split(self._key)
+                self.params, self.adam, self.aux, dstats = self._densify_fn(
+                    sub, self.params, self.adam, self.aux,
+                    jnp.float32(self.cameras_extent),
+                    jnp.bool_(iteration > self.config.opacity_reset_interval))
+                self._maybe_grow_capacity(dstats)
+                self._refresh_filter()
+            if iteration % self.config.opacity_reset_interval == 0:
+                self.params, self.adam = self._reset_opacity_fn(
+                    self.params, self.adam, self.aux)
+        elif (iteration % 100 == 0 and iteration < self.config.iterations - 100):
+            self._refresh_filter()
+
+        out = {k: float(v) for k, v in metrics.items()}
+        out["num_gaussians"] = int(jnp.sum(self.aux.alive))
+        out.update({k: float(v) for k, v in uncertainty_metrics.items()})
+        self.step = step + 1
+        return out
+
+    def _apply_uncertainty_warmup(self, loss_mult, iteration):
+        """Warmup/threshold logic (reference method.py:1934-1946)."""
+        if self._uncertainty is None:
+            return loss_mult
+        cfg = self.config
+        loss_mult = (loss_mult > 1.0).astype(jnp.float32)
+        if iteration < cfg.uncertainty_warmup_start:
+            loss_mult = jnp.ones_like(loss_mult)
+        elif iteration < cfg.uncertainty_warmup_start + cfg.uncertainty_warmup_iters:
+            p = (iteration - cfg.uncertainty_warmup_start) / cfg.uncertainty_warmup_iters
+            loss_mult = 1.0 + p * (loss_mult - 1.0)
+        if cfg.uncertainty_center_mult:
+            loss_mult = jnp.clip(loss_mult - (loss_mult.mean() - 1), 0, 2)
+        return loss_mult
+
+    def _maybe_grow_capacity(self, dstats):
+        dropped = int(dstats["dropped_for_capacity"])
+        n_alive = int(dstats["n_alive"])
+        capacity = self.aux.alive.shape[0]
+        if dropped > 0 or n_alive > self.config.capacity_high_watermark * capacity:
+            new_capacity = _round_up(int(capacity * self.config.capacity_growth_factor) + dropped, 256)
+            logger.info("Growing capacity %d -> %d (alive=%d, dropped=%d)",
+                        capacity, new_capacity, n_alive, dropped)
+            self.params, self.adam, self.aux = gs.grow_capacity(
+                self.params, self.adam, self.aux, new_capacity)
+            # shapes changed: drop compiled functions
+            self.__dict__.pop("_train_step_fn", None)
+            self.__dict__.pop("_densify_fn", None)
+            self.__dict__.pop("_reset_opacity_fn", None)
+
+    # ----------------------------------------------------------------- render
+
+    @functools.lru_cache(maxsize=8)
+    def _render_fn(self, width: int, height: int, render_depth: bool):
+        config = self.config
+
+        def run(params, aux, pose, intr, embedding, actual_size):
+            gaussians = gs.get_gaussians(params, aux, config)
+            pkg = render_internal(
+                gaussians, params, aux.active_sh_degree, aux.alive, config,
+                pose, intr, width, height, embedding=embedding,
+                kernel_size=config.kernel_size, render_depth=render_depth,
+                actual_size=actual_size)
+            img = jnp.nan_to_num(jnp.clip(pkg.render, 0.0, 1.0))
+            return img, pkg.accumulation, pkg.depth
+        return jax.jit(run)
+
+    def get_embedding(self, train_image_id=None):
+        if not self.config.appearance_enabled:
+            return None
+        if train_image_id is not None:
+            return self.params["appearance_embeddings"][train_image_id]
+        return jnp.zeros_like(self.params["appearance_embeddings"][0])
+
+    def render(self, camera: Cameras, *, options=None, **kwargs) -> RenderOutput:
+        del kwargs
+        camera = camera.item()
+        assert camera.camera_models == camera_model_to_int("pinhole"), "Only pinhole supported"
+        render_depth = bool(options and "depth" in options.get("outputs", ()))
+        w, h = int(camera.image_sizes[0]), int(camera.image_sizes[1])
+        pw, ph = _round_up(w, 16), _round_up(h, 16)
+        np_embedding = (options or {}).get("embedding", None)
+        embedding = (jnp.asarray(np_embedding) if np_embedding is not None
+                     else self.get_embedding(None))
+        fn = self._render_fn(pw, ph, render_depth)
+        img, acc, depth = fn(self.params, self.aux,
+                             jnp.asarray(camera.poses, jnp.float32),
+                             jnp.asarray(camera.intrinsics, jnp.float32),
+                             embedding,
+                             (jnp.float32(w), jnp.float32(h)))
+        out: RenderOutput = {
+            "color": np.asarray(img)[:h, :w],
+            "accumulation": np.asarray(acc)[:h, :w],
+        }
+        if depth is not None:
+            out["depth"] = np.asarray(depth)[:h, :w]
+        return out
+
+    # ---------------------------------------------------- embedding optimization
+
+    @functools.cached_property
+    def _embed_opt_step(self):
+        config = self.config
+
+        def loss_fn(embedding, params, aux, pose, intr, actual_size, gt,
+                    pixmask, loss_mult, pw, ph):
+            gaussians = gs.get_gaussians(params, aux, config)
+            pkg = render_internal(
+                gaussians, params, aux.active_sh_degree, aux.alive, config,
+                pose, intr, pw, ph, embedding=embedding,
+                kernel_size=config.kernel_size, return_raw=False,
+                actual_size=actual_size)
+            image = pkg.render * pixmask[..., None]
+            if loss_mult is not None:
+                image = scale_grads(image, loss_mult[..., None])
+            npix = jnp.sum(pixmask)
+            mse = jnp.sum(jnp.square(image - gt) * pixmask[..., None]) / (npix * 3)
+            app_optim_type = config.appearance_optim_type
+            if app_optim_type.endswith("-scaled"):
+                app_optim_type = app_optim_type[:-7]
+            if app_optim_type == "mse":
+                loss = mse
+            elif app_optim_type == "dssim+l1":
+                l1 = jnp.sum(jnp.abs(image - gt) * pixmask[..., None]) / (npix * 3)
+                ssim_v = jnp.sum(ssim(image, gt, size_average=False) * pixmask) / npix
+                loss = (1.0 - config.lambda_dssim) * l1 + config.lambda_dssim * (1.0 - ssim_v)
+            else:
+                raise ValueError(f"Unknown appearance optimization type {app_optim_type}")
+            return loss, mse
+
+        def step(embedding, mu, nu, t, params, aux, pose, intr, actual_size,
+                 gt, pixmask, loss_mult, pw, ph):
+            (loss, mse), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                embedding, params, aux, pose, intr, actual_size, gt, pixmask,
+                loss_mult, pw, ph)
+            lr = config.appearance_embedding_optim_lr
+            b1, b2, eps = 0.9, 0.999, 1e-8  # torch.optim.Adam defaults (method.py:1773)
+            t = t + 1
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * g * g
+            mhat = mu / (1 - b1 ** t)
+            nhat = nu / (1 - b2 ** t)
+            embedding = embedding - lr * mhat / (jnp.sqrt(nhat) + eps)
+            return embedding, mu, nu, t, loss, mse
+
+        return jax.jit(step, static_argnames=("pw", "ph"))
+
+    def optimize_embedding(self, dataset: Dataset, *,
+                           embedding: Optional[np.ndarray] = None) -> OptimizeEmbeddingOutput:
+        if not self.config.appearance_enabled:
+            raise NotImplementedError("Trying to optimize embedding with appearance_enabled=False")
+        camera = dataset["cameras"].item()
+        assert camera.camera_models == camera_model_to_int("pinhole")
+        w, h = int(camera.image_sizes[0]), int(camera.image_sizes[1])
+        pw, ph = _round_up(w, 16), _round_up(h, 16)
+
+        gt_np = convert_image_dtype(dataset["images"][0], np.float32)[..., :3]
+        gt = jnp.asarray(_pad_to(gt_np, ph, pw))
+        pixmask = jnp.asarray(_pad_to(np.ones((h, w, 1), np.float32), ph, pw)[..., 0])
+
+        loss_mult = None
+        if self.config.appearance_optim_type.endswith("-scaled") and self._uncertainty is not None:
+            lm = self._uncertainty.loss_mult_for_image(self.params, gt, pixmask)
+            loss_mult = (lm > 1.0).astype(jnp.float32)
+        if dataset.get("masks") is not None:
+            m = convert_image_dtype(dataset["masks"][0], np.float32)
+            m = jnp.asarray(_pad_to(m[..., None], ph, pw)[..., 0])
+            loss_mult = m if loss_mult is None else loss_mult * m
+
+        emb = (jnp.asarray(embedding) if embedding is not None
+               else self.get_embedding(None))
+        mu = jnp.zeros_like(emb)
+        nu = jnp.zeros_like(emb)
+        t = jnp.int32(0)
+        losses, mses, psnrs = [], [], []
+        pose = jnp.asarray(camera.poses, jnp.float32)
+        intr = jnp.asarray(camera.intrinsics, jnp.float32)
+        actual = (jnp.float32(w), jnp.float32(h))
+        for _ in range(self.config.appearance_embedding_optim_iters):
+            emb, mu, nu, t, loss, mse = self._embed_opt_step(
+                emb, mu, nu, t, self.params, self.aux, pose, intr, actual,
+                gt, pixmask, loss_mult, pw, ph)
+            losses.append(float(loss))
+            mses.append(float(mse))
+            psnrs.append(20 * math.log10(1.0) - 10 * math.log10(max(float(mse), 1e-10)))
+        return {
+            "embedding": np.asarray(emb),
+            "metrics": {"psnr": psnrs, "mse": mses, "loss": losses},
+        }
+
+    def get_train_embedding(self, index: int) -> Optional[np.ndarray]:
+        e = self.get_embedding(index)
+        return np.asarray(e) if e is not None else None
+
+    # ------------------------------------------------------------- checkpoints
+
+    def _state_dict(self) -> Dict[str, np.ndarray]:
+        flat = {}
+
+        def add(prefix, tree):
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in leaves:
+                key = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                flat[key] = np.asarray(leaf)
+        add("params/", self.params)
+        add("adam/mu/", self.adam.mu)
+        add("adam/nu/", self.adam.nu)
+        flat["adam/step"] = np.asarray(self.adam.step)
+        for f in self.aux._fields:
+            flat[f"aux/{f}"] = np.asarray(getattr(self.aux, f))
+        flat["spatial_lr_scale"] = np.asarray(self.spatial_lr_scale)
+        return flat
+
+    def _load_state(self, npz):
+        flat = dict(npz.items()) if hasattr(npz, "items") else dict(npz)
+
+        def tree_from(prefix):
+            out = {}
+            for k, v in flat.items():
+                if not k.startswith(prefix):
+                    continue
+                parts = k[len(prefix):].split("/")
+                d = out
+                for p in parts[:-1]:
+                    d = d.setdefault(p, {})
+                d[parts[-1]] = jnp.asarray(v)
+            return out
+        self.params = tree_from("params/")
+        self.adam = gs.AdamState(mu=tree_from("adam/mu/"), nu=tree_from("adam/nu/"),
+                                 step=jnp.asarray(flat["adam/step"]))
+        aux_kw = {f: jnp.asarray(flat[f"aux/{f}"]) for f in gs.AuxState._fields}
+        self.aux = gs.AuxState(**aux_kw)
+        self.spatial_lr_scale = float(flat["spatial_lr_scale"])
+
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        from ..io.ply import save_ply
+        gaussians = gs.get_gaussians(self.params, self.aux, self.config)
+        alive = np.asarray(self.aux.alive)
+        save_ply(os.path.join(path, "point_cloud.ply"),
+                 xyz=np.asarray(self.params["xyz"])[alive],
+                 features_dc=np.asarray(self.params["features_dc"])[alive],
+                 opacities=np.asarray(gaussians["opacities"])[alive],
+                 scales=np.asarray(gaussians["scales"])[alive],
+                 rotations=np.asarray(self.params["rotations"])[alive])
+        state = self._state_dict()
+        ckpt_path = os.path.join(path, f"chkpnt-{self.step}.npz")
+        np.savez(ckpt_path, **state)
+        with open(os.path.join(path, "config.yaml"), "w", encoding="utf8") as f:
+            f.write(config_to_yaml(self.config))
+        import hashlib
+        sha = hashlib.sha256()
+        for k in sorted(state):
+            sha.update(k.encode())
+            sha.update(state[k].tobytes())
+        with open(ckpt_path + ".sha256", "w", encoding="utf8") as f:
+            f.write(sha.hexdigest())

@@ -1,0 +1,339 @@
+"""Training CLI (mirrors reference train.py:209-376).
+
+`python -m wildgaussians_tpu.train --data <scene> --output out
+    [--dataset-type {default,nerfonthego,phototourism}] [--set k=v ...]`
+"""
+import json
+import logging
+import math
+import os
+import shutil
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, cast
+
+import click
+import numpy as np
+from tqdm import tqdm
+
+from . import datasets
+from .datasets import load_dataset
+from .datasets.colmap import load_colmap_dataset
+from .datasets.phototourism import (NerfWEvaluationProtocol,
+                                    horizontal_half_dataset,
+                                    load_phototourism_dataset)
+from .evaluation import (DefaultEvaluationProtocol, compute_metrics, evaluate,
+                         render_all_images)
+from .logging import JsonlLogger, TensorboardLogger, ConcatLogger
+from .models.wildgaussians import WildGaussians
+from .types import Dataset, EvaluationProtocol, Logger
+from .utils import (Indices, MetricsAccumulator, image_to_srgb,
+                    make_image_grid, visualize_depth)
+
+logger_py = logging.getLogger(__name__)
+
+
+class IndicesClickType(click.ParamType):
+    """reference utils.py:294-321."""
+    name = "indices"
+
+    def convert(self, value, param, ctx):
+        if value is None or isinstance(value, Indices):
+            return value
+        if ":" in value:
+            parts = [int(x) if x else None for x in value.split(":")]
+            assert len(parts) <= 3
+            return Indices(slice(*parts))
+        return Indices([int(x) for x in value.split(",")])
+
+
+class SetParamOptionType(click.ParamType):
+    name = "key=value"
+
+    def convert(self, value, param, ctx):
+        if isinstance(value, tuple):
+            return value
+        if "=" not in value:
+            self.fail(f"expected key=value, got {value}", param, ctx)
+        k, v = value.split("=", 1)
+        return k, v
+
+
+def eval_all(method, logger: Logger, dataset: Dataset, *, output: str, step: int,
+             evaluation_protocol: EvaluationProtocol, split: str, nb_info):
+    """reference train.py:33-117."""
+    metrics: Optional[Dict[str, float]] = {} if logger else None
+    expected_scene_scale = dataset["metadata"].get("expected_scene_scale")
+
+    if split != "test":
+        output_metrics = os.path.join(output, f"results-{step}-{split}.json")
+        output = os.path.join(output, f"predictions-{step}-{split}.tar.gz")
+    else:
+        output_metrics = os.path.join(output, f"results-{step}.json")
+        output = os.path.join(output, f"predictions-{step}.tar.gz")
+    for p in (output, output_metrics):
+        if os.path.exists(p):
+            (os.unlink if os.path.isfile(p) else shutil.rmtree)(p)
+            logger_py.warning("removed existing %s", p)
+
+    start = time.perf_counter()
+    total_rays = 0
+    num_vis_images = 16
+    vis_images: List[Tuple[np.ndarray, np.ndarray]] = []
+    vis_depth: List[np.ndarray] = []
+    for (i, gt), pred, (w, h) in zip(
+            enumerate(dataset["images"]),
+            render_all_images(method, dataset, output=output,
+                              description=f"rendering all images at step={step}",
+                              nb_info=nb_info, evaluation_protocol=evaluation_protocol),
+            dataset["cameras"].image_sizes):
+        total_rays += int(w) * int(h)
+        if len(vis_images) < num_vis_images:
+            background_color = dataset["metadata"].get("background_color", None)
+            dataset_colorspace = dataset["metadata"].get("color_space", "srgb")
+            color_srgb = image_to_srgb(pred["color"], np.uint8,
+                                       color_space=dataset_colorspace,
+                                       background_color=background_color)
+            gt_srgb = image_to_srgb(gt[:h, :w], np.uint8,
+                                    color_space=dataset_colorspace,
+                                    background_color=background_color)
+            vis_images.append((gt_srgb, color_srgb))
+            if "depth" in pred:
+                near_far = (dataset["cameras"].nears_fars[i]
+                            if dataset["cameras"].nears_fars is not None else None)
+                vis_depth.append(visualize_depth(pred["depth"],
+                                                 expected_scale=expected_scene_scale,
+                                                 near_far=near_far))
+    elapsed = time.perf_counter() - start
+
+    info = evaluate(output, output_metrics, evaluation_protocol=evaluation_protocol,
+                    description=f"evaluating all images at step={step}")
+    metrics = info["metrics"]
+
+    if logger:
+        assert metrics is not None
+        metrics["fps"] = len(dataset["cameras"]) / elapsed
+        metrics["rays-per-second"] = total_rays / elapsed
+        metrics["time"] = elapsed
+        with logger.add_event(step) as event:
+            for k, v in metrics.items():
+                if v == v:  # skip NaN (e.g. lpips offline)
+                    event.add_scalar(f"eval-all-{split}/{k}", v)
+        num_cols = max(int(math.sqrt(len(vis_images))), 1)
+        color_vis = make_image_grid(
+            make_image_grid(*[x[0] for x in vis_images], ncol=num_cols),
+            make_image_grid(*[x[1] for x in vis_images], ncol=num_cols))
+        logger.add_image(f"eval-all-{split}/color", color_vis, step=step,
+                         display_name="color",
+                         description="left: gt, right: prediction")
+
+
+def _slice_dataset(dataset: Dataset):
+    for i in range(len(dataset["cameras"])):
+        yield datasets.dataset_index_select(dataset, [i])
+
+
+def eval_few_custom(method: WildGaussians, logger: Logger, dataset: Dataset,
+                    split: str, step: int, evaluation_protocol: EvaluationProtocol):
+    """reference train.py:126-196 (NerfW left/right-half protocol)."""
+    embeddings = None
+    evaluation_dataset = dataset
+    metrics = MetricsAccumulator()
+    optim_metrics = None
+    eval_few_rows: List[List[np.ndarray]] = [[] for _ in range(len(dataset["cameras"]))]
+
+    if evaluation_protocol.get_name() == "nerfw":
+        optimization_dataset = horizontal_half_dataset(dataset, left=True)
+        embeddings = []
+        for dataslice in _slice_dataset(optimization_dataset):
+            optim = method.optimize_embedding(dataslice)
+            embeddings.append(optim["embedding"])
+            if optim_metrics is None and "metrics" in optim:
+                optim_metrics = optim["metrics"]
+        evaluation_dataset = horizontal_half_dataset(dataset, left=False)
+        images_f = [image_to_srgb(img, dtype=np.float32) for img in evaluation_dataset["images"]]
+        for i, result_no_optim in enumerate(
+                method.render(cam) for cam in evaluation_dataset["cameras"]):
+            metrics.update({k + "-nopt": v for k, v in compute_metrics(
+                image_to_srgb(result_no_optim["color"], dtype=np.float32),
+                images_f[i]).items()})
+            eval_few_rows[i].append(image_to_srgb(result_no_optim["color"], dtype=np.uint8))
+    else:
+        images_f = [image_to_srgb(img, dtype=np.float32) for img in evaluation_dataset["images"]]
+
+    for i in range(len(evaluation_dataset["cameras"])):
+        eval_few_rows[i].insert(0, evaluation_dataset["images"][i])
+
+    renders = []
+    for i, result_optim in enumerate(
+            method.render(cam, options={"embedding": embeddings[i] if embeddings is not None else None})
+            for i, cam in enumerate(evaluation_dataset["cameras"])):
+        metrics.update(compute_metrics(
+            image_to_srgb(result_optim["color"], dtype=np.float32), images_f[i]))
+        renders.append(image_to_srgb(result_optim["color"], dtype=np.uint8))
+        eval_few_rows[i].append(renders[-1])
+    cast(Dict, evaluation_dataset)["renders"] = renders
+
+    with logger.add_event(step) as event:
+        for k, v in metrics.pop().items():
+            if v == v:
+                event.add_scalar(f"eval-few-{split}/{k}", v)
+        ncol = 4 if evaluation_protocol.get_name() == "nerfw" else 3
+        event.add_image(f"eval-few-{split}/color",
+                        make_image_grid(*[x for y in eval_few_rows for x in y], ncol=ncol),
+                        description="left: gt, then renders")
+        if optim_metrics is not None:
+            for k in ["psnr", "mse"]:
+                metric = optim_metrics[k]
+                event.add_plot(f"eval-few-{split}/optimization-{k}",
+                               np.stack((np.arange(len(metric)), metric), -1),
+                               axes_labels=("iteration", k),
+                               title=f"Optimization of {k} over iterations")
+
+
+_CONFIG_OVERRIDES = {
+    "nerfonthego": {"config": "nerfonthego.yml"},
+    "phototourism": {"config": "phototourism.yml"},
+    "default": {},
+}
+
+
+@click.command("train")
+@click.option("--data", type=str, required=True)
+@click.option("--output", type=str, default=".")
+@click.option("--verbose", "-v", is_flag=True)
+@click.option("--debug", is_flag=True)
+@click.option("--dataset-type", type=click.Choice(["default", "nerfonthego", "phototourism"]),
+              default="default")
+@click.option("--eval-few-iters", type=IndicesClickType(), default=Indices.every_iters(2_000),
+              help="When to evaluate on few images")
+@click.option("--logger", "logger_backend", type=click.Choice(["jsonl", "tensorboard", "both"]),
+              default="both")
+@click.option("--set", "config_overrides", help="Override a parameter in the method.",
+              type=SetParamOptionType(), multiple=True, default=None)
+def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
+                  config_overrides=None, debug=False, logger_backend="both"):
+    if debug:
+        config_overrides = (config_overrides or ()) + (("iterations", "100"),)
+        eval_few_iters = Indices.every_iters(70)
+    logging.basicConfig(level=logging.DEBUG if verbose or debug else logging.INFO)
+
+    if config_overrides is not None and isinstance(config_overrides, (list, tuple)):
+        config_overrides = dict(config_overrides)
+    config_overrides = {**_CONFIG_OVERRIDES[dataset_type], **(config_overrides or {})}
+
+    features = frozenset({"color", "points3D_xyz", "points3D_rgb"})
+    if dataset_type == "phototourism":
+        evaluation_protocol: EvaluationProtocol = NerfWEvaluationProtocol()
+        def load_dataset_fn(path, split):
+            return load_phototourism_dataset(path, split=split, features=features)
+    else:
+        evaluation_protocol = DefaultEvaluationProtocol()
+        def load_dataset_fn(path, split):
+            return load_colmap_dataset(path, split=split, features=features)
+
+    test_dataset = load_dataset_fn(data, "test")
+    train_dataset = load_dataset_fn(data, "train")
+    if dataset_type == "nerfonthego":
+        dataset_not_official = "Please use the dataset provided for the WG paper"
+        assert os.path.exists(os.path.join(data, "nb-info.json")), dataset_not_official
+        with open(os.path.join(data, "nb-info.json"), "r", encoding="utf8") as f:
+            info = json.load(f)
+        assert info.pop("loader", None) == "colmap", dataset_not_official
+        info.pop("loader_kwargs", None)
+        info_name = info.get("id", info.get("name"))
+        assert info_name == "nerfonthego-undistorted", dataset_not_official
+        info["id"] = info_name
+        test_dataset["metadata"].update(info)
+        train_dataset["metadata"].update(info)
+    if debug:
+        train_dataset = datasets.dataset_index_select(train_dataset, slice(None, 8))
+        test_dataset = datasets.dataset_index_select(test_dataset, slice(None, 8))
+
+    train_dataset = datasets.dataset_load_features(train_dataset)
+    train_dataset["images"] = [x[..., :3] for x in train_dataset["images"]]
+    test_dataset = datasets.dataset_load_features(test_dataset)
+    test_dataset["images"] = [x[..., :3] for x in test_dataset["images"]]
+    train_images_thumbnails = [img[::8, ::8].copy() for img in train_dataset["images"]]
+
+    output_path = Path(output)
+    n_few = min(4, len(train_dataset["cameras"]), len(test_dataset["cameras"]))
+    train_dataset_eval_few = datasets.dataset_index_select(train_dataset, list(range(n_few)))
+    test_dataset_eval_few = datasets.dataset_index_select(test_dataset, list(range(n_few)))
+
+    method = WildGaussians(checkpoint=None, train_dataset=train_dataset,
+                           config_overrides=config_overrides)
+    info = method.get_info()
+
+    loggers = []
+    if logger_backend in ("jsonl", "both"):
+        loggers.append(JsonlLogger(str(output_path / "logs")))
+    if logger_backend in ("tensorboard", "both"):
+        loggers.append(TensorboardLogger(str(output_path / "tensorboard")))
+    logger: Logger = ConcatLogger(loggers)
+    import dataclasses
+    for lg in loggers:
+        lg.add_hparams(dataclasses.asdict(method.config))
+
+    acc_metrics = MetricsAccumulator()
+    num_iterations = info["num_iterations"]
+    step = 0
+    for step in (pbar := tqdm(range(num_iterations), miniters=10, desc="training",
+                              disable=debug)):
+        metrics = method.train_iteration(step)
+        step += 1
+        acc_metrics.update(metrics)
+
+        if step % 100 == 0:
+            acc_metrics_values = acc_metrics.pop()
+            with logger.add_event(step) as event:
+                for k, val in acc_metrics_values.items():
+                    event.add_scalar(f"train/{k}", val)
+            pbar.set_postfix({"train/loss": f"{acc_metrics_values['loss']:.4f}",
+                              "psnr": f"{acc_metrics_values['psnr']:.4f}"})
+
+        if step % 10_000 == 0:
+            path = output_path / f"checkpoint-{step}"
+            if path.exists():
+                shutil.rmtree(path)
+                logger_py.warning("removed existing checkpoint at %s", path)
+            method.save(str(path))
+            with open(path / "nb-info.json", "w", encoding="utf8") as f:
+                json.dump({"method": "wild-gaussians-tpu"}, f)
+            logger_py.info("checkpoint saved at step=%d", step)
+
+        if step in eval_few_iters:
+            eval_few_custom(method, logger, train_dataset_eval_few, split="train",
+                            step=step, evaluation_protocol=evaluation_protocol)
+            eval_few_custom(method, logger, test_dataset_eval_few, split="test",
+                            step=step, evaluation_protocol=evaluation_protocol)
+
+        if step % 10_000 == 0 and method.config.appearance_enabled:
+            labels = [{"name": os.path.relpath(x, train_dataset["image_paths_root"]),
+                       "id": i} for i, x in enumerate(train_dataset["image_paths"])]
+            logger.add_embedding("train/appearance-embeddings",
+                                 np.asarray(method.params["appearance_embeddings"]),
+                                 images=train_images_thumbnails, labels=labels,
+                                 step=step)
+
+    eval_all(method, logger, test_dataset, split="test", step=step,
+             output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
+    if evaluation_protocol.get_name() == "nerfw":
+        eval_all(method, logger, train_dataset_eval_few, split="trainsubset", step=step,
+                 output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
+    else:
+        eval_all(method, logger, train_dataset, split="train", step=step,
+                 output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
+
+    if step % 10_000 != 0:
+        path = output_path / f"checkpoint-{step}"
+        if path.exists():
+            shutil.rmtree(path)
+        method.save(str(path))
+        with open(path / "nb-info.json", "w", encoding="utf8") as f:
+            json.dump({"method": "wild-gaussians-tpu"}, f)
+        logger_py.info("checkpoint saved at step=%d", step)
+
+
+if __name__ == "__main__":
+    train_command()  # pylint: disable=no-value-for-parameter

@@ -1,0 +1,416 @@
+"""Host utilities: image dtype conversion, step schedules, sRGB, image I/O,
+depth visualization, grids, metric accumulation, transparent archive access.
+
+Mirrors reference wildgaussians/utils.py plus method.py helpers; host-side
+numpy only (never on the device path).
+"""
+import contextlib
+import io
+import os
+import shutil
+import struct
+import tarfile
+import tempfile
+import zipfile
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+
+def convert_image_dtype(image: np.ndarray, dtype) -> np.ndarray:
+    """reference method.py:44-53 / utils.py image conversion."""
+    if image.dtype == dtype:
+        return image
+    if image.dtype != np.uint8 and dtype != np.uint8:
+        return image.astype(dtype)
+    if image.dtype == np.uint8 and dtype != np.uint8:
+        return image.astype(dtype) / 255.0
+    if image.dtype != np.uint8 and dtype == np.uint8:
+        return np.clip(image * 255.0, 0, 255).astype(np.uint8)
+    raise ValueError(f"cannot convert image from {image.dtype} to {dtype}")
+
+
+class Indices:
+    """Step-schedule helper (reference utils.py:64-105): Indices.every_iters(n)
+    or explicit slices; call setup(total) then `i in indices`."""
+
+    def __init__(self, steps):
+        self._steps = steps
+        self.total: Optional[int] = None
+
+    def __contains__(self, x):
+        if isinstance(self._steps, list):
+            steps = self._steps
+            if any(x < 0 for x in self._steps):
+                assert self.total is not None, "total must be specified for negative steps"
+                steps = set(x if x >= 0 else self.total + x for x in self._steps)
+            return x in steps
+        elif isinstance(self._steps, slice):
+            start: int = self._steps.start or 0
+            if start < 0:
+                assert self.total is not None, "total must be specified for negative start"
+                start = self.total - start
+            stop: Optional[int] = self._steps.stop or self.total
+            if stop is not None and stop < 0:
+                assert self.total is not None, "total must be specified for negative stop"
+                stop += self.total
+            step: int = self._steps.step or 1
+            return x >= start and (stop is None or x < stop) and (x - start) % step == 0
+
+    @classmethod
+    def every_iters(cls, iters: int, zero: bool = False):
+        start = iters if zero else 0
+        return cls(slice(start, None, iters))
+
+    def __repr__(self):
+        if isinstance(self._steps, list):
+            return ",".join(map(str, self._steps))
+        elif isinstance(self._steps, slice):
+            out = f"{self._steps.start or ''}:{self._steps.stop or ''}"
+            if self._steps.step is not None:
+                out += f":{self._steps.step}"
+            return out
+        else:
+            return repr(self._steps)
+
+    __str__ = __repr__
+
+
+def srgb_to_linear(img: np.ndarray) -> np.ndarray:
+    """reference method.py:770-779."""
+    limit = 0.04045
+    return np.where(img > limit, np.power((img + 0.055) / 1.055, 2.4), img / 12.92)
+
+
+def linear_to_srgb(img: np.ndarray) -> np.ndarray:
+    """reference method.py:782-791."""
+    limit = 0.0031308
+    return np.where(img > limit, 1.055 * np.power(np.clip(img, limit, None), 1.0 / 2.4) - 0.055,
+                    12.92 * img)
+
+
+def image_to_srgb(tensor, dtype, color_space: Optional[str] = None,
+                  allow_alpha: bool = False, background_color: Optional[np.ndarray] = None):
+    """Convert rendered tensor to sRGB (reference utils.py:120-151)."""
+    if color_space is None:
+        color_space = "srgb"
+    if tensor.shape[-1] == 4 and not allow_alpha:
+        alpha = tensor[..., -1:]
+        tensor = tensor[..., :3]
+        if tensor.dtype == np.uint8:
+            tensor = convert_image_dtype(tensor, np.float32)
+            alpha = convert_image_dtype(alpha, np.float32)
+        if background_color is None:
+            background_color = np.array([1.0, 1.0, 1.0], np.float32)
+        bg = convert_image_dtype(np.asarray(background_color), np.float32)
+        tensor = tensor * alpha + bg * (1 - alpha)
+    if color_space == "linear":
+        tensor = convert_image_dtype(tensor, np.float32)
+        tensor = linear_to_srgb(tensor)
+    tensor = convert_image_dtype(tensor, dtype)
+    return tensor
+
+
+def save_image(file, tensor: np.ndarray):
+    """PNG for uint8, float16 .bin for float (reference utils.py:154-177)."""
+    path = getattr(file, "name", None) if hasattr(file, "write") else str(file)
+    if path is not None and str(path).endswith(".bin"):
+        fp = file if hasattr(file, "write") else open(file, "wb")
+        try:
+            if tensor.shape[2] < 4:
+                tensor = np.dstack(
+                    (tensor, np.ones([tensor.shape[0], tensor.shape[1],
+                                      4 - tensor.shape[2]], tensor.dtype)))
+            fp.write(struct.pack("ii", tensor.shape[0], tensor.shape[1]))
+            fp.write(tensor.astype(np.float16).tobytes())
+        finally:
+            if not hasattr(file, "write"):
+                fp.close()
+    else:
+        from PIL import Image
+        img = Image.fromarray(convert_image_dtype(tensor, np.uint8))
+        if hasattr(file, "write"):
+            img.save(file, format="png")
+        else:
+            img.save(str(file), format="png")
+
+
+def read_image(file) -> np.ndarray:
+    """Inverse of save_image (reference utils.py:180-197)."""
+    path = str(getattr(file, "name", file))
+    if path.endswith(".bin"):
+        fp = file if hasattr(file, "read") else open(file, "rb")
+        try:
+            h, w = struct.unpack("ii", fp.read(8))
+            itemsize = 2
+            data = np.frombuffer(fp.read(h * w * 4 * itemsize), dtype=np.float16,
+                                 count=h * w * 4).astype(np.float32).reshape(h, w, 4)
+            return data
+        finally:
+            if not hasattr(file, "read"):
+                fp.close()
+    from PIL import Image
+    return np.asarray(Image.open(file))
+
+
+def visualize_depth(depth: np.ndarray, expected_scale: Optional[float] = None,
+                    near_far: Optional[np.ndarray] = None) -> np.ndarray:
+    """Depth -> turbo colormap uint8 (reference utils.py:204-245, incl. the
+    ZipNeRF power transform)."""
+    import matplotlib
+    depth = depth.squeeze()
+    assert depth.ndim == 2
+    if near_far is not None:
+        xnear, xfar = near_far
+    elif expected_scale is not None:
+        xnear, xfar = expected_scale / 16, expected_scale * 2
+    else:
+        xnear, xfar = np.percentile(depth, 3), np.percentile(depth, 97)
+    # power transform (ZipNeRF)
+    p = -1.5
+    s = ((xfar ** (p + 1) - xnear ** (p + 1)) / (p + 1)) / (xfar - xnear)
+
+    def pow_fn(x):
+        return np.power(np.clip(x, 1e-10, None), p + 1) / (p + 1) / s
+    vmin, vmax = pow_fn(xnear), pow_fn(xfar)
+    depth_t = (pow_fn(depth) - vmin) / max(vmax - vmin, 1e-10)
+    cmap = matplotlib.colormaps["turbo"]
+    out = cmap(np.clip(1.0 - depth_t, 0, 1))[..., :3]
+    return convert_image_dtype(out, np.uint8)
+
+
+def make_image_grid(*images: np.ndarray, ncol=None, padding=2, max_width=1920,
+                    background: float = 1.0):
+    """reference utils.py:248-291."""
+    if ncol is None:
+        ncol = len(images)
+    dtype = images[0].dtype
+    imgs = []
+    for img in images:
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        imgs.append(convert_image_dtype(img, dtype))
+    images = imgs
+    nrow = (len(images) + ncol - 1) // ncol
+    scale_factor = 1.0
+    height, width = images[0].shape[:2]
+    if max_width is not None:
+        scale_factor = min(1, (max_width - padding * (ncol - 1)) / (ncol * width))
+        height = int(height * scale_factor)
+        width = int(width * scale_factor)
+
+    def interpolate(image):
+        if image.shape[:2] != (height, width):
+            from PIL import Image
+            pil = Image.fromarray(convert_image_dtype(image, np.uint8))
+            pil = pil.resize((width, height), Image.BILINEAR)
+            image = convert_image_dtype(np.asarray(pil), dtype)
+        return image
+    images = [interpolate(img) for img in images]
+    bg_value = convert_image_dtype(np.array(background, np.float32), dtype)
+    grid = np.full((nrow * height + (nrow - 1) * padding,
+                    ncol * width + (ncol - 1) * padding, 3),
+                   bg_value, dtype=dtype)
+    for i, img in enumerate(images):
+        r, c = i // ncol, i % ncol
+        grid[r * (height + padding):r * (height + padding) + height,
+             c * (width + padding):c * (width + padding) + width] = img
+    return grid
+
+
+class MetricsAccumulator:
+    """Averages metrics over logging windows (reference utils.py:327-360)."""
+
+    def __init__(self, options=None):
+        self.options = options or {}
+        self._state = None
+
+    def update(self, metrics):
+        if self._state is None:
+            self._state = {}
+        state = self._state
+        n_iters_since_update = state["n_iters_since_update"] = state.get("n_iters_since_update", {})
+        for k, v in metrics.items():
+            accumulator = self.options.get(k, "average")
+            n_iters_since_update[k] = n = n_iters_since_update.get(k, 0) + 1
+            if k not in state:
+                state[k] = 0
+            if accumulator == "last":
+                state[k] = v
+            elif accumulator == "average":
+                state[k] += (v - state[k]) / n
+            elif accumulator == "max":
+                state[k] = max(state[k], v)
+            elif accumulator == "sum":
+                state[k] += v
+            else:
+                raise ValueError(f"Unknown accumulator {accumulator}")
+
+    def pop(self):
+        if self._state is None:
+            return {}
+        state = self._state
+        state.pop("n_iters_since_update", None)
+        self._state = None
+        return state
+
+
+@contextlib.contextmanager
+def open_any(path: Union[str, Path], mode: str = "r"):
+    """Open a file possibly inside zip/tar archives, path segments split on
+    archive extensions (reference utils.py:363-435, offline subset: no http)."""
+    path = str(path)
+    components = path.split("/")
+    archive_idx = next(
+        (i for i, c in enumerate(components[:-1])
+         if c.endswith(".zip") or c.endswith(".tar.gz") or c.endswith(".tgz") or c.endswith(".tar")),
+        None)
+    if archive_idx is None:
+        if "w" in mode:
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        with open(path, mode if "b" in mode else mode + "b") as f:
+            yield f
+        return
+    archive = "/".join(components[:archive_idx + 1])
+    rest = "/".join(components[archive_idx + 1:])
+    if archive.endswith(".zip"):
+        with zipfile.ZipFile(archive, "r" if "r" in mode else "a") as zf:
+            if "r" in mode:
+                with zf.open(rest, "r") as f:
+                    with open_any(rest, mode) if False else contextlib.nullcontext(f) as g:
+                        yield io.BytesIO(g.read())
+            else:
+                buf = io.BytesIO()
+                yield buf
+                zf.writestr(rest, buf.getvalue())
+    else:
+        with tarfile.open(archive, "r:*") as tf:
+            member = tf.getmember(rest)
+            f = tf.extractfile(member)
+            assert f is not None
+            yield io.BytesIO(f.read())
+
+
+@contextlib.contextmanager
+def open_any_directory(path: Union[str, Path], mode: str = "r"):
+    """Expose a possibly-archived directory as a real directory
+    (reference utils.py:438-541, offline subset)."""
+    path = str(path)
+    if not (path.endswith(".zip") or path.endswith(".tar.gz") or path.endswith(".tgz")):
+        os.makedirs(path, exist_ok=True)
+        yield path
+        return
+    with tempfile.TemporaryDirectory() as tmp:
+        if "r" in mode and os.path.exists(path):
+            if path.endswith(".zip"):
+                with zipfile.ZipFile(path) as zf:
+                    zf.extractall(tmp)
+            else:
+                with tarfile.open(path, "r:*") as tf:
+                    tf.extractall(tmp)
+        yield tmp
+        if "w" in mode or "a" in mode:
+            if path.endswith(".zip"):
+                with zipfile.ZipFile(path, "w") as zf:
+                    for root, _dirs, files in os.walk(tmp):
+                        for fn in files:
+                            full = os.path.join(root, fn)
+                            zf.write(full, os.path.relpath(full, tmp))
+            else:
+                with tarfile.open(path, "w:gz") as tf:
+                    tf.add(tmp, arcname="")
+
+
+def get_sha256(path: str) -> str:
+    import hashlib
+    sha = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            sha.update(chunk)
+    return sha.hexdigest()
+
+
+def save_depth(file, tensor: np.ndarray):
+    """float16 .bin depth format (reference utils.py:189-196)."""
+    if isinstance(file, (str, Path)):
+        with open(file, "wb") as f:
+            return save_depth(f, tensor)
+    file.write(struct.pack("ii", tensor.shape[0], tensor.shape[1]))
+    file.write(tensor.astype(np.float16).tobytes())
+
+
+def serialize_nb_info(info: dict) -> dict:
+    """JSON-safe nb-info (reference utils.py:544-578)."""
+    info = info.copy()
+
+    def fix_dm(dm):
+        if dm is None:
+            return None
+        dm = dm.copy()
+        if isinstance(dm.get("background_color"), np.ndarray):
+            dm["background_color"] = dm["background_color"].tolist()
+        if "viewer_initial_pose" in dm and isinstance(dm["viewer_initial_pose"], np.ndarray):
+            dm["viewer_initial_pose"] = np.round(
+                dm["viewer_initial_pose"][:3, :4].astype(np.float64), 6).tolist()
+        if "viewer_transform" in dm and isinstance(dm["viewer_transform"], np.ndarray):
+            dm["viewer_transform"] = np.round(
+                dm["viewer_transform"][:3, :4].astype(np.float64), 6).tolist()
+        if dm.get("expected_scene_scale") is not None:
+            dm["expected_scene_scale"] = round(float(dm["expected_scene_scale"]), 6)
+        return dm
+
+    if "dataset_metadata" in info:
+        info["dataset_metadata"] = fix_dm(info["dataset_metadata"])
+    if "render_dataset_metadata" in info:
+        info["render_dataset_metadata"] = fix_dm(info["render_dataset_metadata"])
+    return info
+
+
+def deserialize_nb_info(info: dict) -> dict:
+    """reference utils.py:581-598."""
+    info = info.copy()
+
+    def fix_dm(dm):
+        if dm is None:
+            return None
+        dm = dm.copy()
+        if dm.get("background_color") is not None:
+            dm["background_color"] = np.array(dm["background_color"], dtype=np.uint8)
+        if "viewer_initial_pose" in dm:
+            dm["viewer_initial_pose"] = np.array(dm["viewer_initial_pose"], dtype=np.float32)
+        if "viewer_transform" in dm:
+            dm["viewer_transform"] = np.array(dm["viewer_transform"], dtype=np.float32)
+        return dm
+    if "dataset_metadata" in info:
+        info["dataset_metadata"] = fix_dm(info["dataset_metadata"])
+    if "render_dataset_metadata" in info:
+        info["render_dataset_metadata"] = fix_dm(info["render_dataset_metadata"])
+    return info
+
+
+def new_nb_info(train_dataset_metadata, method, config_overrides,
+                evaluation_protocol=None, resources_utilization_info=None,
+                total_train_time=None):
+    """reference utils.py:603-628."""
+    from datetime import datetime
+    dataset_metadata = train_dataset_metadata.copy()
+    model_info = method.get_info()
+    if evaluation_protocol is None:
+        evaluation_protocol = dataset_metadata.get("evaluation_protocol", "default")
+    if not isinstance(evaluation_protocol, str):
+        evaluation_protocol = evaluation_protocol.get_name()
+    method_id = model_info.get("method_id", model_info.get("name"))
+    return {
+        "method": method_id,
+        "num_iterations": model_info["num_iterations"],
+        "total_train_time": round(total_train_time, 5) if total_train_time is not None else None,
+        "resources_utilization": resources_utilization_info,
+        "datetime": datetime.utcnow().isoformat(timespec="seconds"),
+        "config_overrides": config_overrides,
+        "dataset_metadata": dataset_metadata,
+        "evaluation_protocol": evaluation_protocol,
+        "hparams": model_info.get("hparams"),
+    }
