@@ -1,0 +1,102 @@
+"""Benchmark: rendered Mpix/s forward+backward per chip @ 1.5M Gaussians.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The scene is synthetic (uniform Gaussians in a frustum, scales tuned so the
+average projected footprint covers a few tiles, like a converged 3DGS scene).
+Timed region = full differentiable render: preprocess -> binning (sort) ->
+tile blend forward + hand-derived backward, plus the L1 loss. vs_baseline is
+measured against 50 Mpix/s fwd+bwd, an estimate of the reference CUDA
+implementation on a desktop RTX-class GPU (the repo publishes no numbers —
+BASELINE.md; typical 3DGS training steps are 20-50 ms at ~1 Mpix/1.5M).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MPIX_S = 50.0
+
+
+def main():
+    n_gaussians = int(os.environ.get("BENCH_N_GAUSSIANS", 1_500_000))
+    width = int(os.environ.get("BENCH_WIDTH", 1280))
+    height = int(os.environ.get("BENCH_HEIGHT", 720))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    import jax
+    import jax.numpy as jnp
+    from wildgaussians_tpu.types import new_cameras
+    from wildgaussians_tpu.cameras import make_camera_params
+    from wildgaussians_tpu.ops.rasterize import rasterize_gaussians
+
+    if backend == "auto":
+        backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "tiled"
+        try:
+            if backend == "pallas":
+                from wildgaussians_tpu.ops import rasterize_pallas  # noqa: F401
+        except Exception:
+            backend = "tiled"
+
+    rng = np.random.default_rng(0)
+    f = width / 1.4
+    cam = new_cameras(
+        poses=np.eye(4, dtype=np.float32)[:3][None],
+        intrinsics=np.array([[f, f, width / 2, height / 2]], np.float32),
+        camera_models=np.zeros((1,), np.int32),
+        distortion_parameters=np.zeros((1, 6), np.float32),
+        image_sizes=np.array([[width, height]], np.int32))
+    params, w, h = make_camera_params(cam)
+
+    # depth-stratified points; scales sized for a ~1.5-tile average footprint
+    z = rng.uniform(3.0, 30.0, n_gaussians).astype(np.float32)
+    xy_extent = z[:, None] * np.array([width / (2 * f), height / (2 * f)], np.float32)
+    xyz = np.concatenate([
+        rng.uniform(-1, 1, (n_gaussians, 2)).astype(np.float32) * xy_extent,
+        z[:, None]], -1)
+    px_size = z / f  # world size of one pixel at that depth
+    scales = (px_size[:, None] * rng.uniform(2.0, 8.0, (n_gaussians, 3))).astype(np.float32)
+    q = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n_gaussians).astype(np.float32)
+    colors = rng.uniform(0, 1, (n_gaussians, 3)).astype(np.float32)
+    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+
+    args = tuple(map(jnp.asarray, (xyz, scales, q, opac, colors)))
+
+    def loss_fn(xyz, scales, rots, opac, colors):
+        out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
+                                  kernel_size=0.1, backend=backend,
+                                  max_tiles_per_gaussian=16)
+        return jnp.mean(jnp.abs(out.color - target)), out.num_rendered
+
+    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True))
+
+    # warmup + compile
+    (loss, num_rendered), grads = step(*args)
+    jax.block_until_ready(grads)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        (loss, num_rendered), grads = step(*args)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / iters
+
+    mpix_s = (w * h) / dt / 1e6
+    result = {
+        "metric": f"fwd+bwd Mpix/s @{n_gaussians // 1000}k gaussians ({backend})",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 4),
+    }
+    print(json.dumps(result))
+    print(f"# step={dt * 1e3:.1f}ms loss={float(loss):.4f} "
+          f"num_rendered={int(num_rendered)} platform={jax.devices()[0].platform}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

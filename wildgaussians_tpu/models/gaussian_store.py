@@ -65,8 +65,8 @@ def init_aux(capacity: int) -> AuxState:
 
 
 def init_adam(params: Dict[str, jnp.ndarray]) -> AdamState:
-    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
-    return AdamState(mu=zeros, nu={k: jnp.zeros_like(v) for k, v in params.items()},
+    return AdamState(mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+                     nu=jax.tree_util.tree_map(jnp.zeros_like, params),
                      step=jnp.zeros((), jnp.int32))
 
 
@@ -293,7 +293,11 @@ def densify_and_prune(key, params: dict, adam: AdamState, aux: AuxState,
     split_scales = jnp.log(scales_act / (0.8 * 2))
 
     new_params = {}
-    per_point = [k for k in params if k not in ("appearance_embeddings",)]
+    # per-Gaussian parameter arrays only (skip module subtrees like the
+    # appearance MLP / uncertainty head and the per-image embeddings)
+    per_point = [k for k, v in params.items()
+                 if k != "appearance_embeddings"
+                 and hasattr(v, "ndim") and v.ndim == 2 and v.shape[0] == c]
     for k in per_point:
         p = params[k]
         # clones copy raw parameters (invalid targets are slot c -> dropped)
@@ -309,8 +313,9 @@ def densify_and_prune(key, params: dict, adam: AdamState, aux: AuxState,
         # child A overwrites the parent slot
         p = jnp.where((split_sel & split_ok)[:, None], child_a, p)
         new_params[k] = p
-    if "appearance_embeddings" in params:
-        new_params["appearance_embeddings"] = params["appearance_embeddings"]
+    for k in params:
+        if k not in new_params:  # non-per-point subtrees pass through
+            new_params[k] = params[k]
 
     alive = aux.alive
     alive = alive.at[clone_tgt].set(True, mode="drop")

@@ -1,0 +1,212 @@
+"""DINOv2-based uncertainty (occlusion) model.
+
+Mirrors the reference UncertaintyModel (method.py:204-456): frozen DINOv2
+backbone, BatchNorm + channel-dropout + 1x1-conv head with a softplus(+1)
+prior, and the dino / dino+mssim / l2reg / l1reg losses that produce the
+per-pixel `loss_mult` down-weighting transient occluders.
+
+TPU adaptation: all uncertainty computation runs at a FIXED input size
+(DINO_SIZE x DINO_SIZE, a multiple of the 14px patch) so the whole train
+step stays one compiled program across arbitrary camera resolutions; the
+dynamic valid-region crop/resize uses jax.image.scale_and_translate with
+traced scales. (The reference resizes each image to <=350px preserving
+aspect, method.py:190-201 — fixed-square is the fixed-shape analogue.)
+GT DINO features are cached per camera like the reference's _get_dino_cached
+(method.py:257-265); the prediction's features are recomputed each step.
+"""
+import logging
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ops.ssim import msssim, ssim_down
+from .dinov2 import DinoV2
+
+logger = logging.getLogger(__name__)
+
+DINO_SIZE = 336  # multiple of 14; 24x24 patch grid
+IMG_NORM_MEAN = np.array([123.675, 116.28, 103.53], np.float32) / 255.0
+IMG_NORM_STD = np.array([58.395, 57.12, 57.375], np.float32) / 255.0
+SOFTPLUS_PRIOR = math.log(math.exp(1.0) - 1.0)
+
+
+def resize_valid(img: jnp.ndarray, out_h: int, out_w: int,
+                 valid_h, valid_w) -> jnp.ndarray:
+    """Resize the [0:valid_h, 0:valid_w] region of `img` to (out_h, out_w)
+    with traced valid sizes (antialiased linear)."""
+    ch = img.shape[-1:] if img.ndim == 3 else ()
+    x = img if img.ndim == 3 else img[..., None]
+    scale = jnp.stack([out_h / valid_h, out_w / valid_w]).astype(jnp.float32)
+    out = jax.image.scale_and_translate(
+        x, (out_h, out_w, x.shape[-1]), (0, 1), scale,
+        jnp.zeros((2,), jnp.float32), method="linear", antialias=True)
+    return out if ch else out[..., 0]
+
+
+def resize_to_valid(img: jnp.ndarray, out_h: int, out_w: int,
+                    valid_h, valid_w) -> jnp.ndarray:
+    """Inverse of resize_valid: place `img` into the [0:valid_h, 0:valid_w]
+    region of an (out_h, out_w) canvas (bilinear)."""
+    x = img if img.ndim == 3 else img[..., None]
+    scale = jnp.stack([valid_h / x.shape[0], valid_w / x.shape[1]]).astype(jnp.float32)
+    out = jax.image.scale_and_translate(
+        x, (out_h, out_w, x.shape[-1]), (0, 1), scale,
+        jnp.zeros((2,), jnp.float32), method="linear", antialias=False)
+    return out if img.ndim == 3 else out[..., 0]
+
+
+class UncertaintyModel:
+    def __init__(self, config: Config):
+        self.config = config
+        self.dino = DinoV2(config.uncertainty_backbone)
+        self.bn_state = {
+            "mean": jnp.zeros((self.dino.embed_dim,), jnp.float32),
+            "var": jnp.ones((self.dino.embed_dim,), jnp.float32),
+        }
+        self._cache: Dict[int, jnp.ndarray] = {}
+        self._dino_jit = jax.jit(self._dino_features)
+
+    # ------------------------------------------------------------------ setup
+
+    def init_params(self, rng: np.random.Generator) -> Dict[str, jnp.ndarray]:
+        """Head params (reference method.py:215-218): conv ~N(0,0.01), zero
+        bias, affine BN."""
+        d = self.dino.embed_dim
+        return {
+            "conv_w": jnp.asarray(rng.normal(0, 0.01, (d, 1)).astype(np.float32)),
+            "conv_b": jnp.zeros((1,), jnp.float32),
+            "bn_scale": jnp.ones((d,), jnp.float32),
+            "bn_bias": jnp.zeros((d,), jnp.float32),
+        }
+
+    def setup_data(self, train_images):
+        del train_images  # features cached lazily per step
+
+    # ------------------------------------------------------------- primitives
+
+    def _dino_features(self, img336: jnp.ndarray) -> jnp.ndarray:
+        """[336,336,3] in [0,1] -> frozen patch features [24,24,D]."""
+        x = (img336 - IMG_NORM_MEAN) / IMG_NORM_STD
+        return jax.lax.stop_gradient(self.dino.features(x))
+
+    def gt_features(self, camera_id: int, gt336: jnp.ndarray) -> jnp.ndarray:
+        feats = self._cache.get(camera_id)
+        if feats is None:
+            feats = self._dino_jit(gt336)
+            self._cache[camera_id] = jax.device_get(feats)
+        return jnp.asarray(feats)
+
+    def head_uncertainty(self, uparams, bn_state, feats, *, train, key,
+                         momentum=0.1):
+        """BN -> dropout2d -> 1x1 conv -> +prior -> softplus -> upsample ->
+        clip (reference method.py:300-323). feats [h,w,D]."""
+        cfg = self.config
+        x = feats
+        # reference order: dropout2d THEN bn (method.py:309-311)
+        if train and cfg.uncertainty_dropout > 0:
+            keep = jax.random.bernoulli(
+                key, 1 - cfg.uncertainty_dropout, (1, 1, x.shape[-1]))
+            x = x * keep / (1 - cfg.uncertainty_dropout)
+        if train:
+            mu = x.mean(axis=(0, 1))
+            var = x.var(axis=(0, 1))
+            new_bn = {
+                "mean": (1 - momentum) * bn_state["mean"]
+                + momentum * jax.lax.stop_gradient(mu),
+                "var": (1 - momentum) * bn_state["var"]
+                + momentum * jax.lax.stop_gradient(var),
+            }
+        else:
+            mu, var = bn_state["mean"], bn_state["var"]
+            new_bn = bn_state
+        x = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+        x = x * uparams["bn_scale"] + uparams["bn_bias"]
+        logits = jnp.dot(x, uparams["conv_w"]) + uparams["conv_b"]  # [h,w,1]
+        logits = logits + SOFTPLUS_PRIOR
+        u = jax.nn.softplus(logits)
+        u = jax.image.resize(u, (DINO_SIZE, DINO_SIZE, 1), method="bilinear")
+        u = jnp.maximum(u, cfg.uncertainty_clip_min)
+        return u[..., 0], new_bn
+
+    @staticmethod
+    def _cosine_map(fx, fy):
+        """Per-patch cosine similarity of two [h,w,D] feature maps, upsampled
+        to DINO_SIZE (reference method.py:267-298)."""
+        num = jnp.sum(fx * fy, -1)
+        den = jnp.linalg.norm(fx, axis=-1) * jnp.linalg.norm(fy, axis=-1)
+        cos = num / jnp.maximum(den, 1e-12)
+        return jax.image.resize(cos, (DINO_SIZE, DINO_SIZE), method="bilinear")
+
+    # ------------------------------------------------------------------ losses
+
+    def compute_loss(self, uparams, bn_state, feats_gt, gt336, pred336,
+                     mask336, key, *, train: bool):
+        """Returns (loss, metrics, loss_mult336, new_bn_state).
+
+        Mirrors _compute_losses (method.py:363-433); all spatial means are
+        masked by `mask336` (the valid-region mask).
+        """
+        cfg = self.config
+        mode = cfg.uncertainty_mode
+        u, new_bn = self.head_uncertainty(uparams, bn_state, feats_gt,
+                                          train=train, key=key)
+        log_u = jnp.log(u)
+        msk = mask336
+        msum = jnp.maximum(jnp.sum(msk), 1.0)
+
+        def mmean(x):
+            return jnp.sum(x * msk) / msum
+
+        _msssim = msssim(gt336, pred336, max_size=None, min_size=80)
+
+        if mode in ("l2reg", "l1reg"):
+            loss_mult = 1.0 / (2 * jnp.square(u)) if mode == "l2reg" else 1.0 / u
+            uncertainty_loss = (1 - jax.lax.stop_gradient(_msssim)) * loss_mult
+            loss_mult_out = loss_mult
+        elif mode in ("dino", "dino+mssim"):
+            loss_mult = 1.0 / (2 * jnp.square(u))
+            feats_pred = self._dino_features(pred336)
+            dino_cos = jax.lax.stop_gradient(self._cosine_map(feats_gt, feats_pred))
+            dino_part = jnp.clip(1.0 - (dino_cos - 0.5) / 0.5, 0.0, 1.0)
+            if mode == "dino+mssim":
+                msssim_part = jax.lax.stop_gradient(1 - _msssim)
+                dino_part = jnp.minimum(dino_part, msssim_part)
+            uncertainty_loss = dino_part * loss_mult
+            loss_mult_out = jnp.minimum(loss_mult, 3.0)
+        else:
+            raise ValueError(f"Invalid uncertainty_mode: {mode}")
+
+        beta = mmean(log_u)
+        loss = mmean(uncertainty_loss) + cfg.uncertainty_regularizer_weight * beta
+
+        _ssim = ssim_down(gt336, pred336, max_size=400)
+        lsum = jnp.maximum(jnp.sum(loss_mult_out * msk), 1e-12)
+        mse = jnp.square(gt336 - pred336).mean(-1)
+        mse_disc = jnp.sum(mse * loss_mult_out * msk) / lsum
+        metrics = {
+            "uncertainty_loss": loss,
+            "msssim": mmean(_msssim),
+            "ssim_discounted": jnp.sum(_ssim * loss_mult_out * msk) / lsum,
+            "mse_discounted": mse_disc,
+            "psnr_discounted": -10 * jnp.log10(jnp.maximum(mse_disc, 1e-10)),
+            "beta": beta,
+        }
+        return loss, metrics, jax.lax.stop_gradient(loss_mult_out), new_bn
+
+    # ------------------------------------------------------- eval-time helper
+
+    def loss_mult_for_image(self, uparams, gt_padded, pixmask, valid_h, valid_w):
+        """loss_mult of a GT image against itself at full padded resolution
+        (used by optimize_embedding's '-scaled' mode, method.py:1781-1785)."""
+        gt336 = resize_valid(gt_padded, DINO_SIZE, DINO_SIZE, valid_h, valid_w)
+        feats = self._dino_features(gt336)
+        _loss, _metrics, lm336, _bn = self.compute_loss(
+            uparams, self.bn_state, feats, gt336, gt336,
+            jnp.ones((DINO_SIZE, DINO_SIZE), jnp.float32),
+            jax.random.PRNGKey(0), train=False)
+        h, w = gt_padded.shape[:2]
+        return resize_to_valid(lm336, h, w, valid_h, valid_w) * pixmask

@@ -177,8 +177,12 @@ class WildGaussians:
         pad_w, pad_h = self._pad_w, self._pad_h
         spatial_lr_scale = self.spatial_lr_scale
 
+        uncertainty = self._uncertainty
+        use_unc = uncertainty is not None
+
         def loss_and_render(params, m2d_hook, abs_hook, aux, camera_id, pose,
-                            intr, actual_size, gt, pixmask, loss_mult, mask):
+                            intr, actual_size, gt, pixmask, mask, iteration,
+                            unc_inputs):
             gaussians = gs.get_gaussians(params, aux, config)
             embedding = (params["appearance_embeddings"][camera_id]
                          if config.appearance_enabled else None)
@@ -193,12 +197,47 @@ class WildGaussians:
                 image = scale_grads(image, mask[..., None])
                 image_toned = scale_grads(image_toned, mask[..., None])
 
+            umetrics = {}
+            new_bn = None
+            uloss = 0.0
+            loss_mult = jnp.ones_like(pixmask)
+            if use_unc:
+                from .uncertainty import resize_valid, resize_to_valid, DINO_SIZE
+                feats_gt, gt336, mask336, bn_state, ukey, protect = unc_inputs
+                aw, ah = actual_size
+                pred336 = resize_valid(jax.lax.stop_gradient(image_toned),
+                                       DINO_SIZE, DINO_SIZE, ah, aw)
+                uloss, umetrics, lm336, new_bn = uncertainty.compute_loss(
+                    params["uncertainty"], bn_state, feats_gt, gt336, pred336,
+                    mask336, ukey, train=True)
+                lm = resize_to_valid(lm336, pad_h, pad_w, ah, aw) * pixmask
+                # threshold + warmup (reference method.py:1934-1946)
+                lm = (lm > 1.0).astype(jnp.float32)
+                ws = config.uncertainty_warmup_start
+                wi = config.uncertainty_warmup_iters
+                pfrac = jnp.where(iteration < ws, 0.0,
+                                  jnp.clip((iteration - ws) / max(wi, 1), 0.0, 1.0)
+                                  if wi > 0 else 1.0)
+                loss_mult = 1.0 + pfrac * (lm - 1.0)
+                if config.uncertainty_center_mult:
+                    npixm = jnp.maximum(jnp.sum(pixmask), 1.0)
+                    mean_lm = jnp.sum(loss_mult * pixmask) / npixm
+                    loss_mult = jnp.clip(loss_mult - (mean_lm - 1), 0, 2)
+                if config.uncertainty_scale_grad:
+                    image = scale_grads(image, loss_mult[..., None])
+                    image_toned = scale_grads(image_toned, loss_mult[..., None])
+                    loss_mult = jnp.ones_like(loss_mult)
+                loss_mult = jax.lax.stop_gradient(loss_mult)
+                # detached during protected iters after opacity reset
+                # (reference method.py:1951-1959)
+                uloss = jnp.where(protect, jax.lax.stop_gradient(uloss), uloss)
+
             npix = jnp.sum(pixmask)
             l1_map = jnp.abs(image_toned - gt)
             ssim_map = ssim(image, gt, size_average=False)  # [H,W]
             l1_w = jnp.sum(l1_map * (loss_mult * pixmask)[..., None]) / (npix * 3)
             dssim_w = jnp.sum((1.0 - ssim_map) * loss_mult * pixmask) / npix
-            loss = (1.0 - lambda_dssim) * l1_w + lambda_dssim * dssim_w
+            loss = (1.0 - lambda_dssim) * l1_w + lambda_dssim * dssim_w + uloss
 
             mse = jnp.sum(jnp.square(image_toned - gt) * pixmask[..., None]) / (npix * 3)
             metrics = {
@@ -207,11 +246,13 @@ class WildGaussians:
                 "ssim": jnp.sum(ssim_map * pixmask) / npix,
                 "mse": mse,
                 "psnr": -10.0 * jnp.log10(mse),
+                **umetrics,
             }
-            return loss, (pkg, metrics)
+            return loss, (pkg, metrics, new_bn)
 
-        def train_step(params, adam, aux, camera_id, gt, pixmask, loss_mult,
-                       mask, iteration, densify_enabled, poses, intrs, sizes):
+        def train_step(params, adam, aux, camera_id, gt, pixmask,
+                       mask, iteration, densify_enabled, poses, intrs, sizes,
+                       unc_inputs):
             pose = poses[camera_id]
             intr = intrs[camera_id]
             actual_size = (sizes[camera_id, 0], sizes[camera_id, 1])
@@ -220,9 +261,9 @@ class WildGaussians:
             abs_hook = jnp.zeros((n,), jnp.float32)
 
             grad_fn = jax.grad(loss_and_render, argnums=(0, 1, 2), has_aux=True)
-            (gparams, g_m2d, g_abs), (pkg, metrics) = grad_fn(
+            (gparams, g_m2d, g_abs), (pkg, metrics, new_bn) = grad_fn(
                 params, m2d_hook, abs_hook, aux, camera_id, pose, intr,
-                actual_size, gt, pixmask, loss_mult, mask)
+                actual_size, gt, pixmask, mask, iteration, unc_inputs)
 
             # densification stats (reference method.py:1995-1998)
             def upd(aux):
@@ -238,7 +279,7 @@ class WildGaussians:
                                           weight_decay=wd)
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
-            return params, adam, aux, metrics
+            return params, adam, aux, metrics, new_bn
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2),
                        static_argnames=())
@@ -296,21 +337,29 @@ class WildGaussians:
         mask = (jnp.asarray(self._train_masks[camera_id])
                 if self._train_masks is not None else None)
 
-        uncertainty_metrics = {}
-        loss_mult = jnp.ones_like(pixmask)
+        unc_inputs = None
         if self._uncertainty is not None:
-            u_loss_value, uncertainty_metrics, loss_mult, u_grads = \
-                self._uncertainty.loss_and_grads_for_step(
-                    self, camera_id, gt, pixmask, iteration)
-            # folded into params update inside uncertainty module
-        loss_mult = self._apply_uncertainty_warmup(loss_mult, iteration)
+            from .uncertainty import resize_valid, DINO_SIZE
+            aw, ah = [int(x) for x in self.train_cameras.image_sizes[camera_id]]
+            gt336, mask336 = self._gt336_cached(camera_id, gt, aw, ah)
+            feats_gt = self._uncertainty.gt_features(camera_id, gt336)
+            self._key, ukey = jax.random.split(self._key)
+            # protected iters after opacity reset (reference method.py:1951-1954)
+            last_densify = min(iteration, self.config.densify_until_iter - 1)
+            last_reset = (last_densify // self.config.opacity_reset_interval
+                          ) * self.config.opacity_reset_interval
+            protect = iteration < last_reset + self.config.uncertainty_protected_iters
+            unc_inputs = (feats_gt, gt336, mask336,
+                          self._uncertainty.bn_state, ukey, jnp.bool_(protect))
 
         densify_enabled = iteration < self.config.densify_until_iter
-        self.params, self.adam, self.aux, metrics = self._train_step_fn(
+        self.params, self.adam, self.aux, metrics, new_bn = self._train_step_fn(
             self.params, self.adam, self.aux, jnp.int32(camera_id), gt,
-            pixmask, loss_mult, mask, jnp.float32(iteration),
+            pixmask, mask, jnp.float32(iteration),
             jnp.bool_(densify_enabled), self._poses_dev, self._intr_dev,
-            self._sizes_dev)
+            self._sizes_dev, unc_inputs)
+        if new_bn is not None:
+            self._uncertainty.bn_state = new_bn
 
         # host-side densification scheduling (method.py:1994-2015)
         if densify_enabled:
@@ -331,24 +380,25 @@ class WildGaussians:
 
         out = {k: float(v) for k, v in metrics.items()}
         out["num_gaussians"] = int(jnp.sum(self.aux.alive))
-        out.update({k: float(v) for k, v in uncertainty_metrics.items()})
         self.step = step + 1
         return out
 
-    def _apply_uncertainty_warmup(self, loss_mult, iteration):
-        """Warmup/threshold logic (reference method.py:1934-1946)."""
-        if self._uncertainty is None:
-            return loss_mult
-        cfg = self.config
-        loss_mult = (loss_mult > 1.0).astype(jnp.float32)
-        if iteration < cfg.uncertainty_warmup_start:
-            loss_mult = jnp.ones_like(loss_mult)
-        elif iteration < cfg.uncertainty_warmup_start + cfg.uncertainty_warmup_iters:
-            p = (iteration - cfg.uncertainty_warmup_start) / cfg.uncertainty_warmup_iters
-            loss_mult = 1.0 + p * (loss_mult - 1.0)
-        if cfg.uncertainty_center_mult:
-            loss_mult = jnp.clip(loss_mult - (loss_mult.mean() - 1), 0, 2)
-        return loss_mult
+    @functools.lru_cache(maxsize=None)
+    def _gt336_shapes(self):
+        return {}
+
+    def _gt336_cached(self, camera_id, gt, aw, ah):
+        """Fixed-size (DINO_SIZE) resize of the valid GT region + mask,
+        cached per camera."""
+        from .uncertainty import resize_valid, DINO_SIZE
+        cache = self._gt336_shapes()
+        if camera_id not in cache:
+            gt336 = resize_valid(gt, DINO_SIZE, DINO_SIZE,
+                                 jnp.float32(ah), jnp.float32(aw))
+            mask336 = jnp.ones((DINO_SIZE, DINO_SIZE), jnp.float32)
+            cache[camera_id] = (jax.device_get(gt336), np.asarray(mask336))
+        g, m = cache[camera_id]
+        return jnp.asarray(g), jnp.asarray(m)
 
     def _maybe_grow_capacity(self, dstats):
         dropped = int(dstats["dropped_for_capacity"])
@@ -477,7 +527,9 @@ class WildGaussians:
 
         loss_mult = None
         if self.config.appearance_optim_type.endswith("-scaled") and self._uncertainty is not None:
-            lm = self._uncertainty.loss_mult_for_image(self.params, gt, pixmask)
+            lm = self._uncertainty.loss_mult_for_image(
+                self.params["uncertainty"], gt, pixmask,
+                jnp.float32(h), jnp.float32(w))
             loss_mult = (lm > 1.0).astype(jnp.float32)
         if dataset.get("masks") is not None:
             m = convert_image_dtype(dataset["masks"][0], np.float32)
@@ -526,6 +578,9 @@ class WildGaussians:
         for f in self.aux._fields:
             flat[f"aux/{f}"] = np.asarray(getattr(self.aux, f))
         flat["spatial_lr_scale"] = np.asarray(self.spatial_lr_scale)
+        if self._uncertainty is not None:
+            flat["uncertainty_bn/mean"] = np.asarray(self._uncertainty.bn_state["mean"])
+            flat["uncertainty_bn/var"] = np.asarray(self._uncertainty.bn_state["var"])
         return flat
 
     def _load_state(self, npz):
@@ -548,6 +603,11 @@ class WildGaussians:
         aux_kw = {f: jnp.asarray(flat[f"aux/{f}"]) for f in gs.AuxState._fields}
         self.aux = gs.AuxState(**aux_kw)
         self.spatial_lr_scale = float(flat["spatial_lr_scale"])
+        if self._uncertainty is not None and "uncertainty_bn/mean" in flat:
+            self._uncertainty.bn_state = {
+                "mean": jnp.asarray(flat["uncertainty_bn/mean"]),
+                "var": jnp.asarray(flat["uncertainty_bn/var"]),
+            }
 
     def save(self, path: str):
         os.makedirs(path, exist_ok=True)

@@ -43,6 +43,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         max_tiles_per_gaussian: int = 64,
                         chunk: int = 256,
                         batch_tiles: int = 64,
+                        entry_capacity=None,
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
@@ -81,7 +82,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
         color, final_t = rasterize_pallas(
             pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
             binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
-            grid=grid, chunk=chunk)
+            grid=grid, chunk=chunk, entry_capacity=entry_capacity)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius,

@@ -239,9 +239,11 @@ def _make_tile_blend(grid: TileGrid, K: int, batch_tiles: int):
         def batch(_, inp):
             t_ids, starts, counts = inp
             px, py = _tile_pixel_coords(grid, t_ids)
+            from ..parallel.mesh import shard_tiles
+            px, py = shard_tiles(px), shard_tiles(py)
             C, T = _blend_fwd_batch(mean2d, conic, opacity, colors,
                                     sorted_gidx, starts, counts, px, py, K)
-            return None, (C, T)
+            return None, (shard_tiles(C), shard_tiles(T))
 
         _, (C, T) = jax.lax.scan(batch, None, (tile_ids, starts_all, counts_all))
         C = C.reshape(T_pad, P, 3)[:T_tiles]
@@ -296,6 +298,8 @@ def _make_tile_blend(grid: TileGrid, K: int, batch_tiles: int):
         def batch(grads, inp):
             t_ids, starts, counts, onb, fT, gc, gt = inp
             px, py = _tile_pixel_coords(grid, t_ids)
+            from ..parallel.mesh import shard_tiles
+            px, py = shard_tiles(px), shard_tiles(py)
             grads = _blend_bwd_batch(mean2d, conic, opacity, colors, sorted_gidx,
                                      starts, counts, px, py, K,
                                      onb, fT, gc, gt, grads)

@@ -17,17 +17,17 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(window_size: int, sigma: float):
+    # returns a host numpy constant (a cached jnp array would leak tracers)
     import numpy as np
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma ** 2))
     g = (g / g.sum()).astype(np.float32)
-    w2 = np.outer(g, g)
-    return jnp.asarray(w2)
+    return np.outer(g, g)
 
 
 def _depthwise_filter(img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5):
     """Zero-padded depthwise 2D Gaussian filter on [B,H,W,C]."""
     c = img.shape[-1]
-    w2 = _gaussian_window(window_size, sigma)
+    w2 = jnp.asarray(_gaussian_window(window_size, sigma))
     kernel = jnp.tile(w2[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (depthwise)
     return jax.lax.conv_general_dilated(
         img, kernel, window_strides=(1, 1),
