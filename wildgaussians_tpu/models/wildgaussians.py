@@ -145,7 +145,11 @@ class WildGaussians:
             n = points3d_xyz.shape[0]
             capacity = self.config.initial_capacity or _round_up(
                 max(int(n * self.config.capacity_growth_factor), n + 1024), 256)
-            knn_d2 = np.asarray(mean_knn_dist2(jnp.asarray(points3d_xyz.astype(np.float32))))
+            from ..ops import knn_native
+            if knn_native.available():
+                knn_d2 = knn_native.mean_knn_dist2_native(points3d_xyz.astype(np.float32))
+            else:
+                knn_d2 = np.asarray(mean_knn_dist2(jnp.asarray(points3d_xyz.astype(np.float32))))
             self.params, self.aux = gs.init_params_from_points(
                 self.config, points3d_xyz, points3d_rgb, opacities, capacity,
                 len(self.train_cameras), knn_d2, self._np_rng)
