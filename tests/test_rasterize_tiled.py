@@ -16,7 +16,8 @@ def _render(scene, cam, backend, absgrad_hook=None, bg=None, **kw):
         jnp.asarray(scene["xyz"]), jnp.asarray(scene["scales"]),
         jnp.asarray(scene["rotations"]), jnp.asarray(scene["opacities"]),
         jnp.asarray(scene["colors"]), params, w, h,
-        kernel_size=0.1, backend=backend, absgrad_hook=absgrad_hook, bg=bg, **kw)
+        kernel_size=0.1, backend=backend, absgrad_hook=absgrad_hook, bg=bg,
+        sort_mode="exact", **kw)
 
 
 def test_binning_ranges_consistent(rng):
@@ -24,7 +25,7 @@ def test_binning_ranges_consistent(rng):
     cam = make_camera(width=80, height=64)
     pre, params, w, h = preprocess_scene(scene, cam)
     gx, gy = (w + 15) // 16, (h + 15) // 16
-    res = bin_gaussians(pre, gx, gy, max_tiles_per_gaussian=64)
+    res = bin_gaussians(pre, gx, gy, max_tiles_per_gaussian=64, sort_mode="exact")
     starts = np.asarray(res.tile_starts)
     counts = np.asarray(res.tile_counts)
     gidx = np.asarray(res.sorted_gidx)
@@ -75,7 +76,8 @@ def test_tiled_grads_match_oracle(rng):
 
     def loss(backend, xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
-                                  kernel_size=0.1, backend=backend)
+                                  kernel_size=0.1, backend=backend,
+                                  sort_mode="exact")
         return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.final_T)
 
     args = (jnp.asarray(scene["xyz"]), jnp.asarray(scene["scales"]),

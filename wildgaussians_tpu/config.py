@@ -107,6 +107,8 @@ class Config:
     max_tiles_per_gaussian: int = 64
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
+    # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).
+    depth_sort_mode: str = "quantized"
     # Gaussian-store capacity management: capacity = next_pow2-ish multiple of
     # the live count; regrow (one recompile) when fill exceeds the watermark.
     capacity_growth_factor: float = 1.5

@@ -86,7 +86,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
                      kernel_size, tile_size=16, alive=alive)
     pre = pre._replace(mean2d=pre.mean2d + mean2d_hook)
     grid = make_grid(width, height, 16)
-    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian)
+    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian,
+                            sort_mode=getattr(config, "depth_sort_mode", "quantized"))
 
     def blend(cols):
         return rasterize_tiled(pre.mean2d, pre.conic, pre.opacity, cols,

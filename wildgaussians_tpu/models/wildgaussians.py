@@ -90,6 +90,14 @@ class WildGaussians:
         self._sky_distance = None
         self._uncertainty = None
 
+        # unsupported-combo guards (reference method.py:976-978)
+        assert getattr(self.config, "appearance_model_2D", "disabled") == "disabled", \
+            "2D appearance models are not supported"
+        assert getattr(self.config, "use_background_model", False) is False, \
+            "Background model is not supported"
+        assert getattr(self.config, "uncertainty_preserve_sky", False) is False, \
+            "Flag uncertainty_preserve_sky is not supported"
+
         if self.config.uncertainty_mode != "disabled":
             from .uncertainty import UncertaintyModel
             self._uncertainty = UncertaintyModel(self.config)

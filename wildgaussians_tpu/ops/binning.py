@@ -29,12 +29,21 @@ class BinningResult(NamedTuple):
 
 
 def bin_gaussians(pre: PreprocessOutput, grid_x: int, grid_y: int,
-                  max_tiles_per_gaussian: int) -> BinningResult:
+                  max_tiles_per_gaussian: int,
+                  sort_mode: str = "quantized") -> BinningResult:
     """Build depth-sorted per-tile Gaussian lists.
 
     All inputs fixed-shape; the sort runs over N * max_tiles_per_gaussian
     entries (cf. duplicateWithKeys + RadixSort, rasterizer_impl.cu:70-111,
     303-311).
+
+    sort_mode:
+      "quantized": one fused u32 key [tile | top depth bits] (positive f32
+        bit patterns are monotone). Ties in the truncated depth fall back to
+        submission order — a ~2^-11 relative-depth resolution, visually
+        indistinguishable and ~2x cheaper than the exact sort.
+      "exact": lexicographic (tile, full f32 depth) sort, matching the
+        reference's 64-bit [tileID | depth] radix keys exactly.
     """
     n = pre.depth.shape[0]
     d_max = max_tiles_per_gaussian
@@ -50,21 +59,34 @@ def bin_gaussians(pre: PreprocessOutput, grid_x: int, grid_y: int,
     tile_id = ty * grid_x + tx                                     # [N, D]
     dup_valid = (slots[None, :] < pre.tiles_touched[:, None]) & pre.valid[:, None]
     tile_id = jnp.where(dup_valid, tile_id, sentinel).astype(jnp.int32)
-
-    depth_key = jnp.where(dup_valid, pre.depth[:, None], jnp.inf).astype(jnp.float32)
     gidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_max))
-
     tile_flat = tile_id.reshape(-1)
-    depth_flat = depth_key.reshape(-1)
     gidx_flat = gidx.reshape(-1)
 
-    sorted_tile, _sorted_depth, sorted_gidx = jax.lax.sort(
-        (tile_flat, depth_flat, gidx_flat), num_keys=2)
+    if sort_mode == "quantized":
+        tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+        depth_bits = 32 - tile_bits
+        dpos = jnp.maximum(pre.depth, 0.0)  # culled/invalid already sentinel
+        dbits = jax.lax.bitcast_convert_type(dpos, jnp.uint32) >> (31 - depth_bits)
+        dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
+        key = ((tile_flat.astype(jnp.uint32) << depth_bits)
+               | jnp.broadcast_to(dq[:, None], (n, d_max)).reshape(-1))
+        sorted_key, sorted_gidx = jax.lax.sort((key, gidx_flat), num_keys=1)
+        bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << depth_bits)
+        tile_starts = jnp.searchsorted(sorted_key, bounds,
+                                       side="left").astype(jnp.int32)
+    elif sort_mode == "exact":
+        depth_key = jnp.where(dup_valid, pre.depth[:, None],
+                              jnp.inf).astype(jnp.float32)
+        sorted_tile, _d, sorted_gidx = jax.lax.sort(
+            (tile_flat, depth_key.reshape(-1), gidx_flat), num_keys=2)
+        tile_starts = jnp.searchsorted(
+            sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+    else:
+        raise ValueError(f"unknown sort_mode {sort_mode}")
 
-    tile_starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-                                   side="left").astype(jnp.int32)
     tile_counts = (tile_starts[1:] - tile_starts[:-1]).astype(jnp.int32)
-
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, d_max))
     overflow = jnp.sum(pre.tiles_touched > d_max)
     return BinningResult(sorted_gidx, tile_starts, tile_counts, num_rendered, overflow)

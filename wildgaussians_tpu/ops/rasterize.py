@@ -44,6 +44,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         chunk: int = 256,
                         batch_tiles: int = 64,
                         entry_capacity=None,
+                        sort_mode: str = "quantized",
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
@@ -71,7 +72,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                                jnp.sum(pre.tiles_touched), jnp.int32(0))
 
     grid = make_grid(width, height, tile_size)
-    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian)
+    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian,
+                            sort_mode=sort_mode)
     if backend == "tiled":
         color, final_t = rasterize_tiled(
             pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,

@@ -86,6 +86,12 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu):
                 contrib=contrib, w=w, new_t=new_t, new_stopped=new_stopped)
 
 
+def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
+    off = pl.multiple_of(start + c * K, 128)
+    return pltpu.make_async_copy(
+        entries_hbm.at[:, pl.ds(off, K)], ebuf.at[slot], sem.at[slot])
+
+
 def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
                 *, grid: TileGrid, K: int):
     t = pl.program_id(0)
@@ -96,17 +102,24 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(count, K)
 
+    @pl.when(n_chunks > 0)
+    def _():
+        _chunk_dma(entries_hbm, ebuf, sem, start, 0, K, 0).start()
+
     def cond(state):
         c, _color, t_carry, _stopped = state
         return (c < n_chunks) & (jnp.max(t_carry) >= T_EPS)
 
     def body(state):
         c, color, t_carry, stopped = state
-        off = pl.multiple_of(start + c * K, 128)
-        copy = pltpu.make_async_copy(entries_hbm.at[:, pl.ds(off, K)], ebuf, sem)
-        copy.start()
-        copy.wait()
-        entries = ebuf[:, :]
+        slot = jax.lax.rem(c, 2)
+        _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _chunk_dma(entries_hbm, ebuf, sem, start, c + 1, K, 1 - slot).start()
+
+        entries = ebuf[slot]
         em = (c * K + kidx) < count
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
         col = entries[6:9, :]                                    # [3,K]
@@ -119,7 +132,14 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
             jnp.zeros((P_PIX, 3), jnp.float32),
             jnp.ones((P_PIX, 1), jnp.float32),
             jnp.zeros((P_PIX, 1), jnp.float32))
-    _, color, t_carry, _ = jax.lax.while_loop(cond, body, init)
+    c_fin, color, t_carry, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetch left outstanding by an early exit
+    @pl.when(c_fin < n_chunks)
+    def _():
+        _chunk_dma(entries_hbm, ebuf, sem, start, c_fin, K,
+                   jax.lax.rem(c_fin, 2)).wait()
+
     out_pack[0, :, :] = jnp.concatenate(
         [color, t_carry, jnp.zeros((P_PIX, 4), jnp.float32)], axis=1)
 
@@ -132,13 +152,17 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
     px, py = _pixel_coords(grid, t)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    n_chunks = pl.cdiv(count, K)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _chunk_dma(entries_hbm, ebuf, sem, start, 0, K, 0).start()
 
     gc = cot_pack[0, :, 0:3]                     # [P,3]
     gt_eff = cot_pack[0, :, 3:4]                 # [P,1]
     out_nobg = fwd_pack[0, :, 0:3]
     final_t = fwd_pack[0, :, 3:4]
     out_dot_g = jnp.sum(out_nobg * gc, axis=1, keepdims=True)    # [P,1]
-    n_chunks = pl.cdiv(count, K)
 
     def cond(state):
         c, t_carry, _acc, _stopped = state
@@ -146,11 +170,14 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
 
     def body(state):
         c, t_carry, acc_dot, stopped = state
-        off = pl.multiple_of(start + c * K, 128)
-        copy = pltpu.make_async_copy(entries_hbm.at[:, pl.ds(off, K)], ebuf, sem)
-        copy.start()
-        copy.wait()
-        entries = ebuf[:, :]
+        slot = jax.lax.rem(c, 2)
+        _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot).wait()
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _chunk_dma(entries_hbm, ebuf, sem, start, c + 1, K, 1 - slot).start()
+
+        entries = ebuf[slot]
         em = (c * K + kidx) < count
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
@@ -191,17 +218,42 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
             + jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True),
             jnp.zeros((ATTR_W - 10, K), jnp.float32),
         ], axis=0)
-        gbuf[:, :] = jnp.where(em, g, 0.0)
-        copy_out = pltpu.make_async_copy(gbuf, egrad_hbm.at[:, pl.ds(off, K)], sem2)
-        copy_out.start()
-        copy_out.wait()
+        off = pl.multiple_of(start + c * K, 128)
+        gslot = jax.lax.rem(c, 2)
+        # wait for the previous grad writeback using this slot (c-2)
+        @pl.when(c >= 2)
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[gslot],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + (c - 2) * K, 128), K)],
+                sem2.at[gslot]).wait()
+        gbuf[gslot] = jnp.where(em, g, 0.0)
+        pltpu.make_async_copy(gbuf.at[gslot],
+                              egrad_hbm.at[:, pl.ds(off, K)],
+                              sem2.at[gslot]).start()
 
         acc_dot = acc_dot + jnp.sum(wcg, axis=1, keepdims=True)
         return c + 1, st["new_t"], acc_dot, st["new_stopped"]
 
     init = (jnp.int32(0), jnp.ones((P_PIX, 1), jnp.float32),
             jnp.zeros((P_PIX, 1), jnp.float32), jnp.zeros((P_PIX, 1), jnp.float32))
-    jax.lax.while_loop(cond, body, init)
+    c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain: the early-exit prefetch and the last (up to two) grad writebacks
+    @pl.when(c_fin < n_chunks)
+    def _():
+        _chunk_dma(entries_hbm, ebuf, sem, start, c_fin, K,
+                   jax.lax.rem(c_fin, 2)).wait()
+
+    def _drain_grad(ci):
+        @pl.when(ci >= 0)
+        def _():
+            pltpu.make_async_copy(
+                gbuf.at[jax.lax.rem(ci, 2)],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + ci * K, 128), K)],
+                sem2.at[jax.lax.rem(ci, 2)]).wait()
+    _drain_grad(c_fin - 2)
+    _drain_grad(c_fin - 1)
 
 
 def _interpret() -> bool:
@@ -222,8 +274,8 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=[pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
-                pltpu.VMEM((ATTR_W, K), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((T_tiles, P_PIX, 8), jnp.float32)],
@@ -242,10 +294,10 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             scratch_shapes=[
-                pltpu.VMEM((ATTR_W, K), jnp.float32),
-                pltpu.VMEM((ATTR_W, K), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((ATTR_W, R_pad), jnp.float32)],
@@ -281,14 +333,24 @@ def align_tile_ranges(sorted_gidx, tile_starts, n, alignment, out_capacity):
 
 
 def _pack_entries(mean2d, conic, opacity, colors, aligned_gidx, pad_cols):
-    """Entry table [ATTR_W, R + pad]; padding slots (gidx == n) are zero rows,
-    whose alpha evaluates to 0 -> skipped by the 1/255 floor."""
+    """Entry table [ATTR_W, R + pad] built by per-attribute row gathers
+    (sequential writes; a row-major gather + transpose was measured to
+    dominate the pallas path). Padding slots (gidx == n) gather a zero
+    sentinel row -> alpha 0 -> skipped by the 1/255 floor."""
     n = mean2d.shape[0]
-    table = jnp.concatenate([
-        mean2d, conic, opacity[:, None], colors,
-        jnp.zeros((n, ATTR_W - 9), jnp.float32)], axis=1)
-    table = jnp.concatenate([table, jnp.zeros((1, ATTR_W), jnp.float32)], axis=0)
-    entries = table[jnp.minimum(aligned_gidx, n)].T        # [ATTR_W, R]
+    gid = jnp.minimum(aligned_gidx, n)
+    R = aligned_gidx.shape[0]
+
+    def row(col):
+        padded = jnp.concatenate([col, jnp.zeros((1,), jnp.float32)])
+        return padded[gid][None, :]
+
+    rows = [row(mean2d[:, 0]), row(mean2d[:, 1]),
+            row(conic[:, 0]), row(conic[:, 1]), row(conic[:, 2]),
+            row(opacity),
+            row(colors[:, 0]), row(colors[:, 1]), row(colors[:, 2]),
+            jnp.zeros((ATTR_W - 9, R), jnp.float32)]
+    entries = jnp.concatenate(rows, axis=0)
     return jnp.concatenate(
         [entries, jnp.zeros((ATTR_W, pad_cols), jnp.float32)], axis=1)
 
@@ -341,16 +403,16 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, R: int):
         num_covered = tile_starts[T_tiles]
         rows = jnp.arange(R, dtype=jnp.int32)
         gid = jnp.where(rows < num_covered, sorted_gidx, n)
-        egrads = egrads_t[:, :R].T                              # [R, ATTR_W]
 
-        def scat(col0, width):
-            src = egrads[:, col0:col0 + width]
-            return jnp.zeros((n, width), jnp.float32).at[gid].add(src, mode="drop")
-        dmean2d = scat(0, 2)
-        dconic = scat(2, 3)
-        dop = scat(5, 1)[:, 0]
-        dcolors = scat(6, 3)
-        dabs = scat(9, 1)[:, 0]
+        def scat1(row_idx):
+            # row-wise 1-D scatter-add (avoids transposing the [16,R] table)
+            return jnp.zeros((n,), jnp.float32).at[gid].add(
+                egrads_t[row_idx, :R], mode="drop")
+        dmean2d = jnp.stack([scat1(0), scat1(1)], axis=1)
+        dconic = jnp.stack([scat1(2), scat1(3), scat1(4)], axis=1)
+        dop = scat1(5)
+        dcolors = jnp.stack([scat1(6), scat1(7), scat1(8)], axis=1)
+        dabs = scat1(9)
         dbg = jnp.einsum("tpc,tp->c", gC, final_t, precision=_HIGH)
         zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
         return (dmean2d, dconic, dop, dcolors, dabs,

@@ -211,9 +211,15 @@ _CONFIG_OVERRIDES = {
               default="both")
 @click.option("--set", "config_overrides", help="Override a parameter in the method.",
               type=SetParamOptionType(), multiple=True, default=None)
+@click.option("--profile", "profile_dir", type=str, default=None,
+              help="Capture a jax.profiler trace of steps 20-40 to this dir.")
 def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
-                  config_overrides=None, debug=False, logger_backend="both"):
+                  config_overrides=None, debug=False, logger_backend="both",
+                  profile_dir=None):
     if debug:
+        # analogue of torch.autograd.set_detect_anomaly (reference train.py:226-232)
+        import jax
+        jax.config.update("jax_debug_nans", True)
         config_overrides = (config_overrides or ()) + (("iterations", "100"),)
         eval_few_iters = Indices.every_iters(70)
     logging.basicConfig(level=logging.DEBUG if verbose or debug else logging.INFO)
@@ -280,7 +286,13 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
     step = 0
     for step in (pbar := tqdm(range(num_iterations), miniters=10, desc="training",
                               disable=debug)):
+        if profile_dir is not None and step == 20:
+            import jax
+            jax.profiler.start_trace(profile_dir)
         metrics = method.train_iteration(step)
+        if profile_dir is not None and step == 40:
+            import jax
+            jax.profiler.stop_trace()
         step += 1
         acc_metrics.update(metrics)
 
