@@ -58,10 +58,12 @@ def main():
         rng.uniform(-1, 1, (n_gaussians, 2)).astype(np.float32) * xy_extent,
         z[:, None]], -1)
     px_size = z / f  # world size of one pixel at that depth
-    scales = (px_size[:, None] * rng.uniform(2.0, 8.0, (n_gaussians, 3))).astype(np.float32)
+    # footprint ~1-4 px sigma: matches converged 3DGS scenes (~3-4 duplicated
+    # tile entries per gaussian on average)
+    scales = (px_size[:, None] * rng.uniform(0.8, 4.0, (n_gaussians, 3))).astype(np.float32)
     q = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    opac = rng.uniform(0.3, 0.95, n_gaussians).astype(np.float32)
+    opac = rng.uniform(0.4, 0.99, n_gaussians).astype(np.float32)
     colors = rng.uniform(0, 1, (n_gaussians, 3)).astype(np.float32)
     target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
 

@@ -72,9 +72,11 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                                jnp.sum(pre.tiles_touched), jnp.int32(0))
 
     grid = make_grid(width, height, tile_size)
-    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian,
-                            sort_mode=sort_mode)
+    num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
+    overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
     if backend == "tiled":
+        binning = bin_gaussians(pre, grid.grid_x, grid.grid_y,
+                                max_tiles_per_gaussian, sort_mode=sort_mode)
         color, final_t = rasterize_tiled(
             pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
             binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
@@ -82,10 +84,10 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     elif backend == "pallas":
         from .rasterize_pallas import rasterize_pallas
         color, final_t = rasterize_pallas(
-            pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
-            binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
-            grid=grid, chunk=chunk, entry_capacity=entry_capacity)
+            pre.mean2d, pre.conic, pre.opacity,
+            colors, absgrad_hook, pre.depth, pre.rect_min, pre.rect_max,
+            pre.tiles_touched, pre.valid, bg, grid=grid, chunk=chunk,
+            max_tiles_per_gaussian=max_tiles_per_gaussian)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
-    return RasterizeResult(color, final_t, pre.radius,
-                           binning.num_rendered, binning.overflow)
+    return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)

@@ -255,6 +255,23 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
     _drain_grad(c_fin - 2)
     _drain_grad(c_fin - 1)
 
+    # early exit leaves chunks [c_fin, n_chunks) unwritten: their true grads
+    # are zero (transmittance saturated) — write zeros so no garbage reaches
+    # the reduction
+    @pl.when(c_fin < n_chunks)
+    def _():
+        gbuf[0] = jnp.zeros_like(gbuf[0])
+
+        def zbody(c, _):
+            copy = pltpu.make_async_copy(
+                gbuf.at[0],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, 128), K)],
+                sem2.at[0])
+            copy.start()
+            copy.wait()
+            return 0
+        jax.lax.fori_loop(c_fin, n_chunks, zbody, 0)
+
 
 def _interpret() -> bool:
     """Interpreter mode off-TPU so the kernels are CPU-testable."""
@@ -308,85 +325,123 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
     return fwd_call, bwd_call
 
 
-def align_tile_ranges(sorted_gidx, tile_starts, n, alignment, out_capacity):
-    """Repack sorted entries so every tile's segment starts at a multiple of
-    `alignment` (required: Mosaic must prove DMA offsets are lane-aligned).
-
-    Padding slots get gaussian-index n (masked everywhere). Returns
-    (aligned_gidx [out_capacity], aligned_starts [T+1]).
-    """
-    counts = tile_starts[1:] - tile_starts[:-1]
-    aligned_sizes = ((counts + alignment - 1) // alignment) * alignment
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes).astype(jnp.int32)])
-    q = jnp.arange(out_capacity, dtype=jnp.int32)
-    t_of_q = jnp.clip(
-        jnp.searchsorted(aligned_starts, q, side="right").astype(jnp.int32) - 1,
-        0, counts.shape[0] - 1)
-    q_local = q - aligned_starts[t_of_q]
-    valid = (q_local < counts[t_of_q]) & (q < aligned_starts[-1])
-    old = jnp.clip(tile_starts[t_of_q] + q_local, 0, sorted_gidx.shape[0] - 1)
-    gidx = jnp.where(valid, sorted_gidx[old], n)
-    # clamp starts into capacity (overflow monitored via num_rendered upstream)
-    aligned_starts = jnp.minimum(aligned_starts, out_capacity)
-    return gidx, aligned_starts
-
-
-def _pack_entries(mean2d, conic, opacity, colors, aligned_gidx, pad_cols):
-    """Entry table [ATTR_W, R + pad] built by per-attribute row gathers
-    (sequential writes; a row-major gather + transpose was measured to
-    dominate the pallas path). Padding slots (gidx == n) gather a zero
-    sentinel row -> alpha 0 -> skipped by the 1/255 floor."""
-    n = mean2d.shape[0]
-    gid = jnp.minimum(aligned_gidx, n)
-    R = aligned_gidx.shape[0]
-
-    def row(col):
-        padded = jnp.concatenate([col, jnp.zeros((1,), jnp.float32)])
-        return padded[gid][None, :]
-
-    rows = [row(mean2d[:, 0]), row(mean2d[:, 1]),
-            row(conic[:, 0]), row(conic[:, 1]), row(conic[:, 2]),
-            row(opacity),
-            row(colors[:, 0]), row(colors[:, 1]), row(colors[:, 2]),
-            jnp.zeros((ATTR_W - 9, R), jnp.float32)]
-    entries = jnp.concatenate(rows, axis=0)
-    return jnp.concatenate(
-        [entries, jnp.zeros((ATTR_W, pad_cols), jnp.float32)], axis=1)
+def _quantized_keys(tile_flat, depth, dup_valid, n, d_max, num_tiles):
+    """Fused u32 sort key [tile | truncated positive-f32 depth bits]."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    dpos = jnp.maximum(depth, 0.0)
+    dbits = jax.lax.bitcast_convert_type(dpos, jnp.uint32) >> (31 - depth_bits)
+    dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
+    key = ((tile_flat.reshape(-1).astype(jnp.uint32) << depth_bits)
+           | jnp.broadcast_to(dq[:, None], (n, d_max)).reshape(-1))
+    return jnp.where(dup_valid.reshape(-1), key, jnp.uint32(0xFFFFFFFF)), depth_bits
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_blend_vjp(grid: TileGrid, K: int, R: int):
-    R_pad = R + K
-    fwd_call, bwd_call = _make_pallas_calls(grid, K, R_pad)
-    T_tiles = grid.num_tiles
+def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int):
+    """Sort-centric pallas rasterizer (v2).
 
-    def forward(mean2d, conic, opacity, colors, sorted_gidx, tile_starts, bg):
-        entries = _pack_entries(mean2d, conic, opacity, colors, sorted_gidx, K)
-        (pack,) = fwd_call(tile_starts, entries)
+    Binning, chunk-alignment, and attribute packing all ride ONE wide
+    lax.sort: per-Gaussian attributes travel as sort payloads (a 9-payload
+    sort costs ~2.5x a bare sort — an order of magnitude cheaper than
+    per-attribute XLA gathers, which run at ~80M elem/s on TPU), and a static
+    pool of (K-1) padding entries per tile keyed to each tile's end makes
+    every tile segment a multiple of K — so segments come out of the sort
+    chunk-aligned with no repacking. The backward reduction un-sorts the
+    per-entry gradients by their original flat index (another wide sort) and
+    reduces the [N, D] slot matrix densely — no large scatters anywhere.
+    """
+    T_tiles = grid.num_tiles
+    pool = T_tiles * (K - 1)
+    R = n * d_max + pool
+    R_pad = ((R + K - 1) // K) * K + K
+    fwd_call, bwd_call = _make_pallas_calls(grid, K, R_pad)
+
+    def _sort_entries(mean2d, conic, opacity, colors, depth, rect_min,
+                      rect_max, tiles_touched, valid):
+        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+        slots = jnp.arange(d_max, dtype=jnp.int32)
+        ty = rect_min[:, 1:2] + slots[None, :] // rect_w[:, None]
+        tx = rect_min[:, 0:1] + slots[None, :] % rect_w[:, None]
+        tile_id = (ty * grid.grid_x + tx).astype(jnp.int32)
+        dup_valid = (slots[None, :] < tiles_touched[:, None]) & valid[:, None]
+        key, depth_bits = _quantized_keys(tile_id, depth, dup_valid, n, d_max,
+                                          T_tiles)
+
+        # per-tile alignment pool: p_t = (-count_t) mod K active entries per
+        # tile, keyed to the end of the tile's depth range
+        counts = jnp.zeros((T_tiles,), jnp.int32).at[
+            jnp.where(dup_valid.reshape(-1), tile_id.reshape(-1), T_tiles)
+        ].add(1, mode="drop")
+        p_t = (-counts) % K
+        pool_tile = jnp.repeat(jnp.arange(T_tiles, dtype=jnp.uint32), K - 1)
+        pool_slot = jnp.tile(jnp.arange(K - 1, dtype=jnp.int32), T_tiles)
+        pool_active = pool_slot < jnp.repeat(p_t, K - 1)
+        max_dq = jnp.uint32((1 << depth_bits) - 1)
+        pool_key = jnp.where(pool_active,
+                             (pool_tile << depth_bits) | max_dq,
+                             jnp.uint32(0xFFFFFFFF))
+
+        flat = jnp.concatenate([jnp.arange(n * d_max, dtype=jnp.int32),
+                                jnp.full((pool,), n * d_max, jnp.int32)])
+        key_all = jnp.concatenate([key, pool_key])
+
+        def attr(col):
+            b = jnp.broadcast_to(col[:, None], (n, d_max)).reshape(-1)
+            return jnp.concatenate([b, jnp.zeros((pool,), jnp.float32)])
+
+        ops = jax.lax.sort(
+            (key_all, flat,
+             attr(mean2d[:, 0]), attr(mean2d[:, 1]),
+             attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+             attr(opacity),
+             attr(colors[:, 0]), attr(colors[:, 1]), attr(colors[:, 2])),
+            num_keys=1)
+        sorted_key, sorted_flat = ops[0], ops[1]
+        rows = [o[None, :] for o in ops[2:]]
+        table = jnp.concatenate(
+            rows + [jnp.zeros((ATTR_W - 9, R), jnp.float32)], axis=0)
+        table = jnp.concatenate(
+            [table, jnp.zeros((ATTR_W, R_pad - R), jnp.float32)], axis=1)
+
+        depth_bits_arr = jnp.uint32(depth_bits)
+        bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32) << depth_bits_arr)
+        tile_starts = jnp.searchsorted(sorted_key, bounds,
+                                       side="left").astype(jnp.int32)
+        # alignment holds whenever all real entries of every tile made it in
+        # (guaranteed: R covers the worst case n*d_max + pool)
+        return table, sorted_flat, tile_starts
+
+    def forward(mean2d, conic, opacity, colors, depth, rect_min, rect_max,
+                tiles_touched, valid, bg):
+        table, sorted_flat, tile_starts = _sort_entries(
+            mean2d, conic, opacity, colors, depth, rect_min, rect_max,
+            tiles_touched, valid)
+        (pack,) = fwd_call(tile_starts, table)
         C = pack[:, :, 0:3]
         final_t = pack[:, :, 3]
         C = C + final_t[..., None] * bg[None, None, :]
-        return C, final_t, entries
+        return C, final_t, table, sorted_flat, tile_starts
 
     @jax.custom_vjp
-    def blend(mean2d, conic, opacity, colors, absgrad_hook,
-              sorted_gidx, tile_starts, bg):
+    def blend(mean2d, conic, opacity, colors, absgrad_hook, bg,
+              depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, _ = forward(mean2d, conic, opacity, colors, sorted_gidx,
-                          tile_starts, bg)
+        C, T, _tb, _sf, _ts = forward(mean2d, conic, opacity, colors, depth,
+                                      rect_min, rect_max, tiles_touched,
+                                      valid, bg)
         return C, T
 
-    def fwd(mean2d, conic, opacity, colors, absgrad_hook,
-            sorted_gidx, tile_starts, bg):
+    def fwd(mean2d, conic, opacity, colors, absgrad_hook, bg,
+            depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, entries = forward(mean2d, conic, opacity, colors, sorted_gidx,
-                                tile_starts, bg)
-        return (C, T), (entries, sorted_gidx, tile_starts, bg, C, T,
-                        mean2d.shape[0])
+        C, T, table, sorted_flat, tile_starts = forward(
+            mean2d, conic, opacity, colors, depth, rect_min, rect_max,
+            tiles_touched, valid, bg)
+        return (C, T), (table, sorted_flat, tile_starts, bg, C, T)
 
     def bwd(res, cot):
-        entries, sorted_gidx, tile_starts, bg, C_out, final_t, n = res
+        table, sorted_flat, tile_starts, bg, C_out, final_t = res
         gC, gT = cot
         out_nobg = C_out - final_t[..., None] * bg[None, None, :]
         gt_eff = gT + jnp.einsum("tpc,c->tp", gC, bg, precision=_HIGH)
@@ -396,54 +451,46 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, R: int):
         fwd_pack = jnp.concatenate(
             [out_nobg, final_t[..., None],
              jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-        (egrads_t,) = bwd_call(tile_starts, entries, cot_pack, fwd_pack)
+        (egrads_t,) = bwd_call(tile_starts, table, cot_pack, fwd_pack)
 
-        # columns >= aligned end hold garbage (no tile covers them) and
-        # aligned-padding slots carry gidx == n: both drop from the scatter.
-        num_covered = tile_starts[T_tiles]
-        rows = jnp.arange(R, dtype=jnp.int32)
-        gid = jnp.where(rows < num_covered, sorted_gidx, n)
-
-        def scat1(row_idx):
-            # row-wise 1-D scatter-add (avoids transposing the [16,R] table)
-            return jnp.zeros((n,), jnp.float32).at[gid].add(
-                egrads_t[row_idx, :R], mode="drop")
-        dmean2d = jnp.stack([scat1(0), scat1(1)], axis=1)
-        dconic = jnp.stack([scat1(2), scat1(3), scat1(4)], axis=1)
-        dop = scat1(5)
-        dcolors = jnp.stack([scat1(6), scat1(7), scat1(8)], axis=1)
-        dabs = scat1(9)
+        # un-sort the per-entry gradients back to [N, D] slot order and
+        # reduce densely (pool/sentinel entries carry flat index n*d_max and
+        # sort to the end)
+        # rows beyond the covered region were never written by the kernel
+        covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
+        unsorted = jax.lax.sort(
+            (sorted_flat,) + tuple(jnp.where(covered, egrads_t[i, :R], 0.0)
+                                   for i in range(10)),
+            num_keys=1)
+        def slot_sum(i):
+            return unsorted[1 + i][:n * d_max].reshape(n, d_max).sum(axis=1)
+        dmean2d = jnp.stack([slot_sum(0), slot_sum(1)], axis=1)
+        dconic = jnp.stack([slot_sum(2), slot_sum(3), slot_sum(4)], axis=1)
+        dop = slot_sum(5)
+        dcolors = jnp.stack([slot_sum(6), slot_sum(7), slot_sum(8)], axis=1)
+        dabs = slot_sum(9)
         dbg = jnp.einsum("tpc,tp->c", gC, final_t, precision=_HIGH)
-        zi = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
-        return (dmean2d, dconic, dop, dcolors, dabs,
-                zi(sorted_gidx), zi(tile_starts), dbg)
+        # non-differentiated geometry inputs: f32 depth gets a zero cotangent
+        # (sort order is discrete), int/bool inputs get float0
+        d_depth = jnp.zeros((n,), jnp.float32)
+        zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
+        return (dmean2d, dconic, dop, dcolors, dabs, dbg,
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
 
     blend.defvjp(fwd, bwd)
     return blend
 
 
 def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
-                     sorted_gidx, tile_starts, tile_counts, bg,
-                     *, grid: TileGrid, chunk: int = 256,
-                     entry_capacity: Optional[int] = None):
-    """Drop-in replacement for rasterize_tiled (same signature/semantics).
-
-    entry_capacity limits the processed prefix of the sorted entry table
-    (valid entries sort before the sentinel padding, so any capacity above
-    num_rendered is lossless; overflow is monitored by the caller via
-    BinningResult.num_rendered).
-    """
-    del tile_counts
+                     pre_depth, pre_rect_min, pre_rect_max, pre_tiles_touched,
+                     pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
+                     max_tiles_per_gaussian: int = 16):
+    """Sort-centric pallas rasterizer; binning happens inside (see
+    _make_pallas_blend_vjp). Returns (color [H,W,3], final_T [H,W])."""
     n = mean2d.shape[0]
-    R_full = sorted_gidx.shape[0]
-    R_base = min(entry_capacity or R_full, R_full)
-    # aligned capacity: entries + worst-case per-tile alignment padding
-    R = R_base + grid.num_tiles * chunk
-    R = ((R + chunk - 1) // chunk) * chunk
-
-    aligned_gidx, aligned_starts = align_tile_ranges(
-        sorted_gidx, tile_starts, n, chunk, R)
-    blend = _make_pallas_blend_vjp(grid, chunk, R)
-    C_t, T_t = blend(mean2d, conic, opacity, colors, absgrad_hook,
-                     aligned_gidx, aligned_starts, bg)
+    blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian)
+    C_t, T_t = blend(mean2d, conic, opacity, colors, absgrad_hook, bg,
+                     pre_depth, pre_rect_min, pre_rect_max,
+                     jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
+                     pre_valid)
     return tiles_to_image(C_t, grid), tiles_to_image(T_t, grid)
