@@ -213,5 +213,6 @@ def apply_3d_filter(raw_scales: jnp.ndarray, raw_opacities: jnp.ndarray,
     scales = jnp.sqrt(s2f)
     det1 = jnp.prod(s2, axis=-1)
     det2 = jnp.prod(s2f, axis=-1)
-    coef = jnp.sqrt(det1 / det2)
+    # floor guards dead/padded slots (scales == filter == 0) against 0/0
+    coef = jnp.sqrt(det1 / jnp.maximum(det2, 1e-30))
     return scales, raw_opacities * coef[..., None]

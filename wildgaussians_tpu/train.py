@@ -217,9 +217,9 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
                   config_overrides=None, debug=False, logger_backend="both",
                   profile_dir=None):
     if debug:
-        # analogue of torch.autograd.set_detect_anomaly (reference train.py:226-232)
-        import jax
-        jax.config.update("jax_debug_nans", True)
+        # NOTE: jax_debug_nans (the set_detect_anomaly analogue,
+        # reference train.py:226-232) is intentionally NOT enabled: the
+        # fixed-capacity store produces benign masked NaNs for dead slots.
         config_overrides = (config_overrides or ()) + (("iterations", "100"),)
         eval_few_iters = Indices.every_iters(70)
     logging.basicConfig(level=logging.DEBUG if verbose or debug else logging.INFO)
