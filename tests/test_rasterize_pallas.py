@@ -48,3 +48,51 @@ def test_pallas_grads_match_tiled(rng):
         scale = np.abs(gr).max() + 1e-12
         np.testing.assert_allclose(gp, gr, atol=5e-3 * scale, rtol=5e-2,
                                    err_msg=f"grad mismatch for {name}")
+
+
+def test_pallas_multi_pass_matches_single(rng):
+    """Two color sets over one shared sort == two independent single passes."""
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess
+    from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+    from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+
+    scene = make_scene(rng, n=150)
+    cam = make_camera(width=48, height=32)
+    params, w, h = wc.make_camera_params(cam)
+    cov3d = compute_cov3d(jnp.asarray(scene["scales"]), jnp.asarray(scene["rotations"]))
+    pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                     jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+    grid = make_grid(w, h, 16)
+    c0 = jnp.asarray(scene["colors"])
+    c1 = 1.0 - c0
+    hook = jnp.zeros((150,), jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    args = (pre.mean2d, pre.conic, pre.opacity)
+    geo = (pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched, pre.valid)
+
+    multi = rasterize_pallas_multi(*args, [c0, c1], hook, *geo, bg, grid=grid)
+    s0 = rasterize_pallas_multi(*args, [c0], hook, *geo, bg, grid=grid)[0]
+    s1 = rasterize_pallas_multi(*args, [c1], hook, *geo, bg, grid=grid)[0]
+    np.testing.assert_allclose(np.asarray(multi[0][0]), np.asarray(s0[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi[1][0]), np.asarray(s1[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(multi[0][1]), np.asarray(multi[1][1]), atol=1e-6)
+
+
+def test_training_with_pallas_backend(rng):
+    """End-to-end training with rasterizer_backend=pallas (interpret on CPU)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_training import _make_synthetic_dataset, OVERRIDES
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    dataset, _scene = _make_synthetic_dataset(np.random.default_rng(5),
+                                              n_cams=3, width=48, height=32,
+                                              n_points=80)
+    overrides = dict(OVERRIDES)
+    overrides.update(rasterizer_backend="pallas", iterations=20,
+                     densify_from_iter=5, densification_interval=8,
+                     densify_until_iter=18, max_tiles_per_gaussian=12)
+    m = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    metrics = [m.train_iteration(s) for s in range(12)]
+    assert all(np.isfinite(x["loss"]) for x in metrics)
+    assert metrics[-1]["psnr"] > metrics[0]["psnr"] - 1.0

@@ -103,8 +103,9 @@ class Config:
     rasterizer_backend: str = "auto"
     # Tile size in pixels (reference CUDA uses 16x16, config.h:15-17).
     tile_size: int = 16
-    # Max tiles a single Gaussian may be duplicated into during binning.
-    max_tiles_per_gaussian: int = 64
+    # Max tiles a single Gaussian may be duplicated into during binning
+    # (duplication slot budget; overflow is monitored per step).
+    max_tiles_per_gaussian: int = 24
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

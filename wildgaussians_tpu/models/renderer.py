@@ -44,15 +44,17 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
                     render_depth: bool = False,
                     return_raw: bool = True,
                     actual_size: Optional[tuple] = None,
-                    backend: str = "tiled",
+                    backend: str = "auto",
                     chunk: int = 256,
                     batch_tiles: int = 64,
-                    max_tiles_per_gaussian: int = 64) -> RenderPkg:
+                    max_tiles_per_gaussian: int = 0) -> RenderPkg:
     """One camera render. `gaussians` are post-activation (get_gaussians).
 
     width/height may be padded to the compile-shape; `actual_size` (w,h)
     preserves the reference's tan_fov (EWA clamp limits, method.py:1522-1525).
     """
+    if not max_tiles_per_gaussian:
+        max_tiles_per_gaussian = getattr(config, "max_tiles_per_gaussian", 64)
     camera = make_camera_params_jax(pose, intrinsics, width, height)
     if actual_size is not None:
         aw, ah = actual_size
@@ -80,28 +82,26 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         absgrad_hook = jnp.zeros((n,), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
 
-    # shared preprocess + binning for all passes (identical geometry)
+    if backend == "auto":
+        backend = (config.rasterizer_backend
+                   if config.rasterizer_backend != "auto" else "auto")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+
+    # shared preprocess + binning for all passes (identical geometry;
+    # reference runs up to three rasterizations per step, method.py:1573-1631)
     cov3d = compute_cov3d(gaussians["scales"], gaussians["rotations"])
     pre = preprocess(means3d, cov3d, opacities, camera, width, height,
                      kernel_size, tile_size=16, alive=alive)
     pre = pre._replace(mean2d=pre.mean2d + mean2d_hook)
     grid = make_grid(width, height, 16)
-    binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian,
-                            sort_mode=getattr(config, "depth_sort_mode", "quantized"))
 
-    def blend(cols):
-        return rasterize_tiled(pre.mean2d, pre.conic, pre.opacity, cols,
-                               absgrad_hook, binning.sorted_gidx,
-                               binning.tile_starts, binning.tile_counts, bg,
-                               grid=grid, chunk=chunk, batch_tiles=batch_tiles)
-
-    raw_img = None
-    accumulation = None
-    if not config.appearance_enabled or (config.appearance_separate_tuned_color and return_raw):
-        raw_img, final_t = blend(colors)
-        accumulation = 1.0 - final_t
-        rendered = raw_img
-
+    # assemble the color passes
+    passes = []
+    want_raw = (not config.appearance_enabled
+                or (config.appearance_separate_tuned_color and return_raw))
+    if want_raw:
+        passes.append(("raw", colors))
     if config.appearance_enabled:
         assert embedding is not None
         emb_expanded = jnp.broadcast_to(embedding[None], (n, embedding.shape[0]))
@@ -112,19 +112,44 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         shs_t = jnp.minimum(shs_t, 1.0)
         colors_toned = jnp.maximum(
             eval_sh_switch(aux_active_sh, config.sh_degree, shs_t, dirs) + 0.5, 0.0)
-        rendered, final_t2 = blend(colors_toned)
-        if accumulation is None:
-            accumulation = 1.0 - final_t2
-        if raw_img is None:
-            raw_img = rendered
-
-    depth = None
+        passes.append(("toned", colors_toned))
     if render_depth:
         dist = jnp.linalg.norm(means3d - camera.campos[None], axis=-1)
-        dimg, _ = blend(jnp.tile(dist[:, None], (1, 3)))
-        depth = dimg[..., 0]
+        passes.append(("depth", jnp.tile(dist[:, None], (1, 3))))
 
+    if backend == "pallas":
+        from ..ops.rasterize_pallas import rasterize_pallas_multi
+        outs = rasterize_pallas_multi(
+            pre.mean2d, pre.conic, pre.opacity,
+            [c for _tag, c in passes], absgrad_hook,
+            pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched,
+            pre.valid, bg, grid=grid, chunk=chunk,
+            max_tiles_per_gaussian=max_tiles_per_gaussian)
+        results = dict(zip([tag for tag, _c in passes], outs))
+    else:
+        binning = bin_gaussians(
+            pre, grid.grid_x, grid.grid_y, max_tiles_per_gaussian,
+            sort_mode=getattr(config, "depth_sort_mode", "quantized"))
+
+        def blend(cols):
+            return rasterize_tiled(pre.mean2d, pre.conic, pre.opacity, cols,
+                                   absgrad_hook, binning.sorted_gidx,
+                                   binning.tile_starts, binning.tile_counts,
+                                   bg, grid=grid, chunk=chunk,
+                                   batch_tiles=batch_tiles)
+        results = {tag: blend(c) for tag, c in passes}
+
+    raw_img = results["raw"][0] if "raw" in results else None
+    accumulation = (1.0 - results["raw"][1] if "raw" in results
+                    else 1.0 - results["toned"][1])
+    rendered = results["toned"][0] if "toned" in results else raw_img
+    if raw_img is None:
+        raw_img = rendered
+    depth = results["depth"][0][..., 0] if "depth" in results else None
+
+    num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
+    overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
-                     depth=depth, num_rendered=binning.num_rendered,
-                     overflow=binning.overflow)
+                     depth=depth, num_rendered=num_rendered,
+                     overflow=overflow)

@@ -93,7 +93,7 @@ def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
 
 
 def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
-                *, grid: TileGrid, K: int):
+                *, grid: TileGrid, K: int, col0: int = 6):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = starts_ref[t + 1] - start
@@ -122,7 +122,7 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
         entries = ebuf[slot]
         em = (c * K + kidx) < count
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
-        col = entries[6:9, :]                                    # [3,K]
+        col = entries[col0:col0 + 3, :]                          # [3,K]
         color = color + jax.lax.dot_general(
             st["w"], col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [P,3]
@@ -145,7 +145,8 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
 
 
 def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
-                ebuf, gbuf, sem, sem2, *, grid: TileGrid, K: int):
+                ebuf, gbuf, sem, sem2, *, grid: TileGrid, K: int,
+                col0: int = 6):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = starts_ref[t + 1] - start
@@ -182,7 +183,7 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
-        col = entries[6:9, :]                                        # [3,K]
+        col = entries[col0:col0 + 3, :]                              # [3,K]
         cg = jnp.dot(gc, col, preferred_element_type=jnp.float32)    # [P,K]
         wcg = w * cg
         prefix = jnp.dot(wcg, triu, preferred_element_type=jnp.float32) + acc_dot
@@ -278,20 +279,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.lru_cache(maxsize=32)
-def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
+@functools.lru_cache(maxsize=64)
+def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
+                       table_w: int = ATTR_W, col0: int = 6):
     T_tiles = grid.num_tiles
     interpret = _interpret()
 
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid=grid, K=K),
+        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=[pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
-                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.VMEM((2, table_w, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -300,7 +302,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid=grid, K=K),
+        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T_tiles,),
@@ -311,7 +313,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int):
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             scratch_shapes=[
-                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.VMEM((2, table_w, K), jnp.float32),
                 pltpu.VMEM((2, ATTR_W, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -338,8 +340,9 @@ def _quantized_keys(tile_flat, depth, dup_valid, n, d_max, num_tiles):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int):
-    """Sort-centric pallas rasterizer (v2).
+def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
+                           n_passes: int = 1):
+    """Sort-centric pallas rasterizer (v2), multi-pass capable.
 
     Binning, chunk-alignment, and attribute packing all ride ONE wide
     lax.sort: per-Gaussian attributes travel as sort payloads (a 9-payload
@@ -347,17 +350,22 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int):
     per-attribute XLA gathers, which run at ~80M elem/s on TPU), and a static
     pool of (K-1) padding entries per tile keyed to each tile's end makes
     every tile segment a multiple of K — so segments come out of the sort
-    chunk-aligned with no repacking. The backward reduction un-sorts the
-    per-entry gradients by their original flat index (another wide sort) and
-    reduces the [N, D] slot matrix densely — no large scatters anywhere.
+    chunk-aligned with no repacking. Multiple color sets (raw / appearance-
+    toned / depth, reference method.py:1573-1631) share the single sorted
+    geometry as extra payload rows, so a full WildGaussians train step pays
+    for one sort. The backward un-sorts the per-entry gradients by original
+    flat index (another wide sort) and reduces the dense [N, D] slot matrix —
+    no large scatters anywhere.
     """
     T_tiles = grid.num_tiles
     pool = T_tiles * (K - 1)
     R = n * d_max + pool
     R_pad = ((R + K - 1) // K) * K + K
-    fwd_call, bwd_call = _make_pallas_calls(grid, K, R_pad)
+    table_w = 6 + 3 * n_passes
+    calls = [_make_pallas_calls(grid, K, R_pad, table_w, 6 + 3 * i)
+             for i in range(n_passes)]
 
-    def _sort_entries(mean2d, conic, opacity, colors, depth, rect_min,
+    def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
         rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
         slots = jnp.arange(d_max, dtype=jnp.int32)
@@ -390,86 +398,100 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int):
             b = jnp.broadcast_to(col[:, None], (n, d_max)).reshape(-1)
             return jnp.concatenate([b, jnp.zeros((pool,), jnp.float32)])
 
-        ops = jax.lax.sort(
-            (key_all, flat,
-             attr(mean2d[:, 0]), attr(mean2d[:, 1]),
-             attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
-             attr(opacity),
-             attr(colors[:, 0]), attr(colors[:, 1]), attr(colors[:, 2])),
-            num_keys=1)
+        payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
+                   attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+                   attr(opacity)]
+        for i in range(n_passes):
+            payload += [attr(colors_stack[i, :, 0]),
+                        attr(colors_stack[i, :, 1]),
+                        attr(colors_stack[i, :, 2])]
+        ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
         sorted_key, sorted_flat = ops[0], ops[1]
         rows = [o[None, :] for o in ops[2:]]
+        table = jnp.concatenate(rows, axis=0)
         table = jnp.concatenate(
-            rows + [jnp.zeros((ATTR_W - 9, R), jnp.float32)], axis=0)
-        table = jnp.concatenate(
-            [table, jnp.zeros((ATTR_W, R_pad - R), jnp.float32)], axis=1)
+            [table, jnp.zeros((table_w, R_pad - R), jnp.float32)], axis=1)
 
-        depth_bits_arr = jnp.uint32(depth_bits)
-        bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32) << depth_bits_arr)
+        bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32)
+                  << jnp.uint32(depth_bits))
         tile_starts = jnp.searchsorted(sorted_key, bounds,
                                        side="left").astype(jnp.int32)
-        # alignment holds whenever all real entries of every tile made it in
-        # (guaranteed: R covers the worst case n*d_max + pool)
         return table, sorted_flat, tile_starts
 
-    def forward(mean2d, conic, opacity, colors, depth, rect_min, rect_max,
-                tiles_touched, valid, bg):
+    def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                rect_max, tiles_touched, valid, bg):
         table, sorted_flat, tile_starts = _sort_entries(
-            mean2d, conic, opacity, colors, depth, rect_min, rect_max,
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
-        (pack,) = fwd_call(tile_starts, table)
-        C = pack[:, :, 0:3]
-        final_t = pack[:, :, 3]
-        C = C + final_t[..., None] * bg[None, None, :]
-        return C, final_t, table, sorted_flat, tile_starts
+        Cs, Ts = [], []
+        for i in range(n_passes):
+            (pack,) = calls[i][0](tile_starts, table)
+            final_t = pack[:, :, 3]
+            Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
+            Ts.append(final_t)
+        C = jnp.stack(Cs)
+        T = jnp.stack(Ts)
+        return C, T, table, sorted_flat, tile_starts
 
     @jax.custom_vjp
-    def blend(mean2d, conic, opacity, colors, absgrad_hook, bg,
+    def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
               depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, _tb, _sf, _ts = forward(mean2d, conic, opacity, colors, depth,
-                                      rect_min, rect_max, tiles_touched,
-                                      valid, bg)
+        C, T, _tb, _sf, _ts = forward(mean2d, conic, opacity, colors_stack,
+                                      depth, rect_min, rect_max,
+                                      tiles_touched, valid, bg)
         return C, T
 
-    def fwd(mean2d, conic, opacity, colors, absgrad_hook, bg,
+    def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
             depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
         C, T, table, sorted_flat, tile_starts = forward(
-            mean2d, conic, opacity, colors, depth, rect_min, rect_max,
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid, bg)
         return (C, T), (table, sorted_flat, tile_starts, bg, C, T)
 
     def bwd(res, cot):
         table, sorted_flat, tile_starts, bg, C_out, final_t = res
-        gC, gT = cot
-        out_nobg = C_out - final_t[..., None] * bg[None, None, :]
-        gt_eff = gT + jnp.einsum("tpc,c->tp", gC, bg, precision=_HIGH)
-        cot_pack = jnp.concatenate(
-            [gC, gt_eff[..., None],
-             jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-        fwd_pack = jnp.concatenate(
-            [out_nobg, final_t[..., None],
-             jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-        (egrads_t,) = bwd_call(tile_starts, table, cot_pack, fwd_pack)
+        gC, gT = cot   # [np,T,P,3], [np,T,P]
 
-        # un-sort the per-entry gradients back to [N, D] slot order and
-        # reduce densely (pool/sentinel entries carry flat index n*d_max and
-        # sort to the end)
-        # rows beyond the covered region were never written by the kernel
+        geo_rows = None
+        color_rows = []
+        dbg = jnp.zeros((3,), jnp.float32)
+        for i in range(n_passes):
+            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
+            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg, precision=_HIGH)
+            cot_pack = jnp.concatenate(
+                [gC[i], gt_eff[..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            fwd_pack = jnp.concatenate(
+                [out_nobg, final_t[i][..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            (eg,) = calls[i][1](tile_starts, table, cot_pack, fwd_pack)
+            g_geo = jnp.concatenate([eg[0:6, :R], eg[9:10, :R]], axis=0)
+            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+            color_rows.append(eg[6:9, :R])
+            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
+                                   precision=_HIGH)
+
+        # rows beyond the covered region were never written by the kernels
         covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
+        all_rows = [geo_rows[j] for j in range(7)]
+        for cr in color_rows:
+            all_rows += [cr[0], cr[1], cr[2]]
         unsorted = jax.lax.sort(
-            (sorted_flat,) + tuple(jnp.where(covered, egrads_t[i, :R], 0.0)
-                                   for i in range(10)),
+            (sorted_flat,) + tuple(jnp.where(covered, r, 0.0)
+                                   for r in all_rows),
             num_keys=1)
+
         def slot_sum(i):
             return unsorted[1 + i][:n * d_max].reshape(n, d_max).sum(axis=1)
         dmean2d = jnp.stack([slot_sum(0), slot_sum(1)], axis=1)
         dconic = jnp.stack([slot_sum(2), slot_sum(3), slot_sum(4)], axis=1)
         dop = slot_sum(5)
-        dcolors = jnp.stack([slot_sum(6), slot_sum(7), slot_sum(8)], axis=1)
-        dabs = slot_sum(9)
-        dbg = jnp.einsum("tpc,tp->c", gC, final_t, precision=_HIGH)
+        dabs = slot_sum(6)
+        dcolors = jnp.stack(
+            [jnp.stack([slot_sum(7 + 3 * i + c) for c in range(3)], axis=1)
+             for i in range(n_passes)])
         # non-differentiated geometry inputs: f32 depth gets a zero cotangent
         # (sort order is discrete), int/bool inputs get float0
         d_depth = jnp.zeros((n,), jnp.float32)
@@ -481,16 +503,34 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int):
     return blend
 
 
+def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
+                           pre_depth, pre_rect_min, pre_rect_max,
+                           pre_tiles_touched, pre_valid, bg, *,
+                           grid: TileGrid, chunk: int = 256,
+                           max_tiles_per_gaussian: int = 16):
+    """Render several color sets over one shared sorted geometry.
+
+    Returns list of (color [H,W,3], final_T [H,W]) per color set.
+    """
+    n = mean2d.shape[0]
+    blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
+                                   len(colors_list))
+    stack = jnp.stack(colors_list)
+    C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
+                     pre_depth, pre_rect_min, pre_rect_max,
+                     jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
+                     pre_valid)
+    return [(tiles_to_image(C_t[i], grid), tiles_to_image(T_t[i], grid))
+            for i in range(len(colors_list))]
+
+
 def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_depth, pre_rect_min, pre_rect_max, pre_tiles_touched,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
                      max_tiles_per_gaussian: int = 16):
-    """Sort-centric pallas rasterizer; binning happens inside (see
-    _make_pallas_blend_vjp). Returns (color [H,W,3], final_T [H,W])."""
-    n = mean2d.shape[0]
-    blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian)
-    C_t, T_t = blend(mean2d, conic, opacity, colors, absgrad_hook, bg,
-                     pre_depth, pre_rect_min, pre_rect_max,
-                     jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
-                     pre_valid)
-    return tiles_to_image(C_t, grid), tiles_to_image(T_t, grid)
+    """Single-pass wrapper around rasterize_pallas_multi."""
+    (out,) = rasterize_pallas_multi(
+        mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
+        pre_rect_min, pre_rect_max, pre_tiles_touched, pre_valid, bg,
+        grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian)
+    return out
