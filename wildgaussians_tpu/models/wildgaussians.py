@@ -260,6 +260,18 @@ class WildGaussians:
                 "psnr": -10.0 * jnp.log10(mse),
                 **umetrics,
             }
+            if mask is not None:
+                # masked metrics (reference method.py:1985-1992)
+                msum = jnp.maximum(jnp.sum(mask * pixmask), 1.0)
+                mse_masked = jnp.sum(jnp.square(image_toned - gt)
+                                     * (mask * pixmask)[..., None]) / (msum * 3)
+                metrics.update({
+                    "mask_percentage": jnp.sum(mask * pixmask) / npix,
+                    "ssim_masked": jnp.sum(ssim_map * mask * pixmask) / msum,
+                    "mse_masked": mse_masked,
+                    "psnr_masked": -10.0 * jnp.log10(mse_masked),
+                    "l1_loss_masked": jnp.sum(l1_map * (mask * pixmask)[..., None]) / (msum * 3),
+                })
             return loss, (pkg, metrics, new_bn)
 
         def train_step(params, adam, aux, camera_id, gt, pixmask,
@@ -314,6 +326,10 @@ class WildGaussians:
         return jax.jit(run, donate_argnums=(0, 1))
 
     # --------------------------------------------------------------- protocol
+
+    @classmethod
+    def install(cls):
+        """Method protocol hook (reference types.py:325-330); no-op."""
 
     @classmethod
     def get_method_info(cls) -> MethodInfo:

@@ -361,7 +361,9 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     pool = T_tiles * (K - 1)
     R = n * d_max + pool
     R_pad = ((R + K - 1) // K) * K + K
-    table_w = 6 + 3 * n_passes
+    # Mosaic requires the sublane (row) dim of DMA-sliced HBM arrays to be
+    # 8-aligned
+    table_w = ((6 + 3 * n_passes + 7) // 8) * 8
     calls = [_make_pallas_calls(grid, K, R_pad, table_w, 6 + 3 * i)
              for i in range(n_passes)]
 
@@ -408,6 +410,9 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
         sorted_key, sorted_flat = ops[0], ops[1]
         rows = [o[None, :] for o in ops[2:]]
+        pad_rows = table_w - len(rows)
+        if pad_rows:
+            rows = rows + [jnp.zeros((pad_rows, R), jnp.float32)]
         table = jnp.concatenate(rows, axis=0)
         table = jnp.concatenate(
             [table, jnp.zeros((table_w, R_pad - R), jnp.float32)], axis=1)
