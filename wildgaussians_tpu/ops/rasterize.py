@@ -43,7 +43,6 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         max_tiles_per_gaussian: int = 64,
                         chunk: int = 256,
                         batch_tiles: int = 64,
-                        entry_capacity=None,
                         sort_mode: str = "quantized",
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
