@@ -72,18 +72,20 @@ def main():
     def loss_fn(xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
                                   kernel_size=0.1, backend=backend,
-                                  max_tiles_per_gaussian=16)
-        return jnp.mean(jnp.abs(out.color - target)), out.num_rendered
+                                  max_tiles_per_gaussian=int(
+                                      os.environ.get("BENCH_DMAX", 10)))
+        return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
+                                                       out.overflow)
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True))
 
     # warmup + compile
-    (loss, num_rendered), grads = step(*args)
+    (loss, (num_rendered, overflow)), grads = step(*args)
     jax.block_until_ready(grads)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        (loss, num_rendered), grads = step(*args)
+        (loss, (num_rendered, overflow)), grads = step(*args)
     jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / iters
 
@@ -96,8 +98,8 @@ def main():
     }
     print(json.dumps(result))
     print(f"# step={dt * 1e3:.1f}ms loss={float(loss):.4f} "
-          f"num_rendered={int(num_rendered)} platform={jax.devices()[0].platform}",
-          file=sys.stderr)
+          f"num_rendered={int(num_rendered)} overflow={int(overflow)} "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
 
 if __name__ == "__main__":

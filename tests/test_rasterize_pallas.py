@@ -96,3 +96,34 @@ def test_training_with_pallas_backend(rng):
     metrics = [m.train_iteration(s) for s in range(12)]
     assert all(np.isfinite(x["loss"]) for x in metrics)
     assert metrics[-1]["psnr"] > metrics[0]["psnr"] - 1.0
+
+
+def test_pallas_two_tier_big_gaussians(rng):
+    """Scenes with huge-footprint gaussians exercise the deep slot tier."""
+    import wildgaussians_tpu.cameras as wc
+    scene = make_scene(rng, n=80)
+    # inflate some gaussians to cover many tiles (sky-like)
+    scene["scales"][:10] *= 40.0
+    cam = make_camera(width=64, height=64)
+    params, w, h = wc.make_camera_params(cam)
+    args = _args(scene)
+    ref = rasterize_gaussians(*args, params, w, h, kernel_size=0.1,
+                              backend="tiled", max_tiles_per_gaussian=24)
+    got = rasterize_gaussians(*args, params, w, h, kernel_size=0.1,
+                              backend="pallas", max_tiles_per_gaussian=24)
+    np.testing.assert_allclose(np.asarray(got.color), np.asarray(ref.color),
+                               atol=5e-3, rtol=1e-3)
+
+    target = jnp.zeros((h, w, 3))
+
+    def loss(backend, *a):
+        out = rasterize_gaussians(*a, params, w, h, kernel_size=0.1,
+                                  backend=backend, max_tiles_per_gaussian=24)
+        return jnp.mean((out.color - target) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 4))(*args)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 4))(*args)
+    for gr, gp in zip(g_ref, g_pal):
+        scale = np.abs(np.asarray(gr)).max() + 1e-12
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=5e-3 * scale, rtol=5e-2)

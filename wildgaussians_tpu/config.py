@@ -105,7 +105,12 @@ class Config:
     tile_size: int = 16
     # Max tiles a single Gaussian may be duplicated into during binning
     # (duplication slot budget; overflow is monitored per step).
-    max_tiles_per_gaussian: int = 24
+    max_tiles_per_gaussian: int = 16
+    # Pallas two-tier slots: every Gaussian gets pallas_d_small cheap slots;
+    # a pallas_big_fraction-capacity pool covers rect cells up to
+    # max_tiles_per_gaussian for big-footprint Gaussians (sky etc.).
+    pallas_d_small: int = 6
+    pallas_big_fraction: float = 0.125
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

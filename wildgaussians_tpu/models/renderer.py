@@ -124,7 +124,9 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             [c for _tag, c in passes], absgrad_hook,
             pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched,
             pre.valid, bg, grid=grid, chunk=chunk,
-            max_tiles_per_gaussian=max_tiles_per_gaussian)
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            d_small=getattr(config, "pallas_d_small", 6),
+            big_fraction=getattr(config, "pallas_big_fraction", 0.125))
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(

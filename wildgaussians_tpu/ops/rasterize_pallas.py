@@ -341,7 +341,8 @@ def _quantized_keys(tile_flat, depth, dup_valid, n, d_max, num_tiles):
 
 @functools.lru_cache(maxsize=32)
 def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
-                           n_passes: int = 1):
+                           n_passes: int = 1, d_small: int = 6,
+                           big_fraction: float = 0.125):
     """Sort-centric pallas rasterizer (v2), multi-pass capable.
 
     Binning, chunk-alignment, and attribute packing all ride ONE wide
@@ -359,7 +360,17 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     """
     T_tiles = grid.num_tiles
     pool = T_tiles * (K - 1)
-    R = n * d_max + pool
+    # two-tier duplication slots: every Gaussian owns d1 cheap slots; the few
+    # with larger tile rects (sky Gaussians etc.) claim one of m_cap deep
+    # slot rows covering rect cells [d1, d_max). Cuts sort size 1.5-5x vs a
+    # flat [n, d_max] slot matrix (measured p50 tiles/gaussian ~3-5, long
+    # tail up to hundreds for sky points).
+    d1 = min(d_small, d_max)
+    d2_extra = d_max - d1
+    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    slots1 = n * d1
+    slots2 = m_cap * d2_extra
+    R = slots1 + slots2 + pool
     R_pad = ((R + K - 1) // K) * K + K
     # Mosaic requires the sublane (row) dim of DMA-sliced HBM arrays to be
     # 8-aligned
@@ -370,19 +381,42 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
         rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-        slots = jnp.arange(d_max, dtype=jnp.int32)
-        ty = rect_min[:, 1:2] + slots[None, :] // rect_w[:, None]
-        tx = rect_min[:, 0:1] + slots[None, :] % rect_w[:, None]
-        tile_id = (ty * grid.grid_x + tx).astype(jnp.int32)
-        dup_valid = (slots[None, :] < tiles_touched[:, None]) & valid[:, None]
-        key, depth_bits = _quantized_keys(tile_id, depth, dup_valid, n, d_max,
-                                          T_tiles)
+
+        def tile_of_cell(rmin, rw, cell):
+            ty = rmin[:, 1:2] + cell // rw[:, None]
+            tx = rmin[:, 0:1] + cell % rw[:, None]
+            return (ty * grid.grid_x + tx).astype(jnp.int32)
+
+        # tier 1: first d1 rect cells of every Gaussian
+        cells1 = jnp.arange(d1, dtype=jnp.int32)[None, :]
+        tile1 = tile_of_cell(rect_min, rect_w, cells1)
+        dup1 = (cells1 < tiles_touched[:, None]) & valid[:, None]
+        key1, depth_bits = _quantized_keys(tile1, depth, dup1, n, d1, T_tiles)
+
+        # tier 2: rect cells [d1, d_max) for Gaussians with big rects
+        if m_cap > 0:
+            is_big = (tiles_touched > d1) & valid
+            rank = jnp.cumsum(is_big) - 1
+            ok = is_big & (rank < m_cap)
+            big_list = jnp.full((m_cap,), n, jnp.int32).at[
+                jnp.where(ok, rank, m_cap)].set(
+                    jnp.arange(n, dtype=jnp.int32), mode="drop")
+            bvalid = big_list < n
+            bl = jnp.minimum(big_list, n - 1)
+            cells2 = d1 + jnp.arange(d2_extra, dtype=jnp.int32)[None, :]
+            tile2 = tile_of_cell(rect_min[bl], rect_w[bl], cells2)
+            dup2 = (cells2 < tiles_touched[bl][:, None]) & bvalid[:, None]
+            key2, _db = _quantized_keys(tile2, depth[bl], dup2, m_cap,
+                                        d2_extra, T_tiles)
+        dup_all = (jnp.concatenate([dup1.reshape(-1), dup2.reshape(-1)])
+                   if m_cap > 0 else dup1.reshape(-1))
 
         # per-tile alignment pool: p_t = (-count_t) mod K active entries per
         # tile, keyed to the end of the tile's depth range
+        tile_all = (jnp.concatenate([tile1.reshape(-1), tile2.reshape(-1)])
+                    if m_cap > 0 else tile1.reshape(-1))
         counts = jnp.zeros((T_tiles,), jnp.int32).at[
-            jnp.where(dup_valid.reshape(-1), tile_id.reshape(-1), T_tiles)
-        ].add(1, mode="drop")
+            jnp.where(dup_all, tile_all, T_tiles)].add(1, mode="drop")
         p_t = (-counts) % K
         pool_tile = jnp.repeat(jnp.arange(T_tiles, dtype=jnp.uint32), K - 1)
         pool_slot = jnp.tile(jnp.arange(K - 1, dtype=jnp.int32), T_tiles)
@@ -392,13 +426,23 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                              (pool_tile << depth_bits) | max_dq,
                              jnp.uint32(0xFFFFFFFF))
 
-        flat = jnp.concatenate([jnp.arange(n * d_max, dtype=jnp.int32),
-                                jnp.full((pool,), n * d_max, jnp.int32)])
-        key_all = jnp.concatenate([key, pool_key])
+        flat_parts = [jnp.arange(slots1, dtype=jnp.int32)]
+        key_parts = [key1]
+        if m_cap > 0:
+            flat_parts.append(slots1 + jnp.arange(slots2, dtype=jnp.int32))
+            key_parts.append(key2)
+        flat_parts.append(jnp.full((pool,), slots1 + slots2, jnp.int32))
+        key_parts.append(pool_key)
+        flat = jnp.concatenate(flat_parts)
+        key_all = jnp.concatenate(key_parts)
 
         def attr(col):
-            b = jnp.broadcast_to(col[:, None], (n, d_max)).reshape(-1)
-            return jnp.concatenate([b, jnp.zeros((pool,), jnp.float32)])
+            parts = [jnp.broadcast_to(col[:, None], (n, d1)).reshape(-1)]
+            if m_cap > 0:
+                parts.append(jnp.broadcast_to(
+                    col[bl][:, None], (m_cap, d2_extra)).reshape(-1))
+            parts.append(jnp.zeros((pool,), jnp.float32))
+            return jnp.concatenate(parts)
 
         payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
                    attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
@@ -421,11 +465,12 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                   << jnp.uint32(depth_bits))
         tile_starts = jnp.searchsorted(sorted_key, bounds,
                                        side="left").astype(jnp.int32)
-        return table, sorted_flat, tile_starts
+        big_list_out = big_list if m_cap > 0 else jnp.zeros((0,), jnp.int32)
+        return table, sorted_flat, tile_starts, big_list_out
 
     def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
                 rect_max, tiles_touched, valid, bg):
-        table, sorted_flat, tile_starts = _sort_entries(
+        table, sorted_flat, tile_starts, big_list = _sort_entries(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
         Cs, Ts = [], []
@@ -436,27 +481,27 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             Ts.append(final_t)
         C = jnp.stack(Cs)
         T = jnp.stack(Ts)
-        return C, T, table, sorted_flat, tile_starts
+        return C, T, table, sorted_flat, tile_starts, big_list
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
               depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, _tb, _sf, _ts = forward(mean2d, conic, opacity, colors_stack,
-                                      depth, rect_min, rect_max,
-                                      tiles_touched, valid, bg)
+        C, T, _tb, _sf, _ts, _bl = forward(mean2d, conic, opacity,
+                                           colors_stack, depth, rect_min,
+                                           rect_max, tiles_touched, valid, bg)
         return C, T
 
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
             depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, table, sorted_flat, tile_starts = forward(
+        C, T, table, sorted_flat, tile_starts, big_list = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid, bg)
-        return (C, T), (table, sorted_flat, tile_starts, bg, C, T)
+        return (C, T), (table, sorted_flat, tile_starts, big_list, bg, C, T)
 
     def bwd(res, cot):
-        table, sorted_flat, tile_starts, bg, C_out, final_t = res
+        table, sorted_flat, tile_starts, big_list, bg, C_out, final_t = res
         gC, gT = cot   # [np,T,P,3], [np,T,P]
 
         geo_rows = None
@@ -489,7 +534,14 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             num_keys=1)
 
         def slot_sum(i):
-            return unsorted[1 + i][:n * d_max].reshape(n, d_max).sum(axis=1)
+            row = unsorted[1 + i]
+            out = row[:slots1].reshape(n, d1).sum(axis=1)
+            if m_cap > 0:
+                big = row[slots1:slots1 + slots2].reshape(
+                    m_cap, d2_extra).sum(axis=1)
+                out = out.at[jnp.minimum(big_list, n)].add(
+                    jnp.where(big_list < n, big, 0.0), mode="drop")
+            return out
         dmean2d = jnp.stack([slot_sum(0), slot_sum(1)], axis=1)
         dconic = jnp.stack([slot_sum(2), slot_sum(3), slot_sum(4)], axis=1)
         dop = slot_sum(5)
@@ -512,14 +564,15 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            pre_depth, pre_rect_min, pre_rect_max,
                            pre_tiles_touched, pre_valid, bg, *,
                            grid: TileGrid, chunk: int = 256,
-                           max_tiles_per_gaussian: int = 16):
+                           max_tiles_per_gaussian: int = 16,
+                           d_small: int = 6, big_fraction: float = 0.125):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
     """
     n = mean2d.shape[0]
     blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
-                                   len(colors_list))
+                                   len(colors_list), d_small, big_fraction)
     stack = jnp.stack(colors_list)
     C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
                      pre_depth, pre_rect_min, pre_rect_max,
