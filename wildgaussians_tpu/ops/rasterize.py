@@ -44,6 +44,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         chunk: int = 256,
                         batch_tiles: int = 64,
                         sort_mode: str = "quantized",
+                        d_small: int = 6,
+                        big_fraction: float = 0.125,
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
@@ -73,6 +75,12 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     grid = make_grid(width, height, tile_size)
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
     overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
+    if backend == "pallas" and max_tiles_per_gaussian > d_small:
+        # two-tier big-pool truncation: big Gaussians beyond the pool capacity
+        # keep only their d_small cheap slots
+        m_cap = max(int(n * big_fraction), 8)
+        n_big = jnp.sum((pre.tiles_touched > d_small) & pre.valid)
+        overflow = overflow + jnp.maximum(n_big - m_cap, 0)
     if backend == "tiled":
         binning = bin_gaussians(pre, grid.grid_x, grid.grid_y,
                                 max_tiles_per_gaussian, sort_mode=sort_mode)
@@ -86,7 +94,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
             pre.mean2d, pre.conic, pre.opacity,
             colors, absgrad_hook, pre.depth, pre.rect_min, pre.rect_max,
             pre.tiles_touched, pre.valid, bg, grid=grid, chunk=chunk,
-            max_tiles_per_gaussian=max_tiles_per_gaussian)
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            d_small=d_small, big_fraction=big_fraction)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)

@@ -585,10 +585,12 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
 def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_depth, pre_rect_min, pre_rect_max, pre_tiles_touched,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
-                     max_tiles_per_gaussian: int = 16):
+                     max_tiles_per_gaussian: int = 16,
+                     d_small: int = 6, big_fraction: float = 0.125):
     """Single-pass wrapper around rasterize_pallas_multi."""
     (out,) = rasterize_pallas_multi(
         mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
         pre_rect_min, pre_rect_max, pre_tiles_touched, pre_valid, bg,
-        grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian)
+        grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian,
+        d_small=d_small, big_fraction=big_fraction)
     return out
