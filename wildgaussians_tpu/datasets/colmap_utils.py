@@ -6,7 +6,6 @@ reference's _colmap_utils.py (read_cameras_binary at _colmap_utils.py:118,
 read_images_binary :214, read_points3D_binary :337, qvec2rotmat :459).
 """
 import collections
-import os
 import struct
 from typing import Dict
 

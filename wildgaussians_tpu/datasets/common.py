@@ -4,7 +4,6 @@ viewer/pose transforms (host numpy; mirrors reference datasets/_common.py).
 import logging
 import os
 import struct
-import warnings
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np

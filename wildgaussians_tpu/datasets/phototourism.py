@@ -2,9 +2,6 @@
 (reference datasets/phototourism.py)."""
 import csv
 import logging
-import shutil
-import tarfile
-import tempfile
 from pathlib import Path
 from typing import Dict, Iterable, Union, cast
 

@@ -10,11 +10,11 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from .types import Logger, LoggerEvent
+from .types import Logger
 
 
 class _BaseEvent:

@@ -10,7 +10,7 @@ from typing import Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..cameras import CameraParams, make_camera_params_jax
+from ..cameras import make_camera_params_jax
 from ..config import Config
 from ..ops.sh import eval_sh_switch
 from ..ops.gaussians import preprocess, compute_cov3d

@@ -16,7 +16,7 @@ GT DINO features are cached per camera like the reference's _get_dino_cached
 """
 import logging
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -6,13 +6,11 @@ render (two passes), losses, backward, Adam — is ONE jitted program; the host
 loop only schedules densify/prune/reset (each its own jitted fixed-shape
 function), logging and checkpoints.
 """
-import dataclasses
 import functools
 import logging
 import math
 import os
 import random
-from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax

@@ -8,13 +8,12 @@ Mirrors the surface of the reference GaussianRasterizer
 """
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..cameras import CameraParams
 from .gaussians import preprocess, compute_cov3d
-from .binning import bin_gaussians, BinningResult
-from .rasterize_tiled import make_grid, rasterize_tiled, TileGrid
+from .binning import bin_gaussians
+from .rasterize_tiled import make_grid, rasterize_tiled
 from .rasterize_reference import rasterize_reference
 
 

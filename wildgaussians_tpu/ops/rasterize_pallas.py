@@ -22,7 +22,6 @@ Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabs.
 Forward output is packed [T, 256, 8]: cols 0..2 = rgb, col 3 = final_T.
 """
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ numpy only (never on the device path).
 import contextlib
 import io
 import os
-import shutil
 import struct
 import tarfile
 import tempfile
