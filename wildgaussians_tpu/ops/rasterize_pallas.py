@@ -96,14 +96,18 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
     t = pl.program_id(0)
     start = starts_ref[t]
     count = starts_ref[t + 1] - start
+    # tile ranges are NOT aligned; DMA from the 128-aligned floor and mask the
+    # foreign head/tail entries (they belong to neighbouring tiles)
+    astart = (start // 128) * 128
+    shift = start - astart
     px, py = _pixel_coords(grid, t)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    n_chunks = pl.cdiv(count, K)
+    n_chunks = pl.cdiv(shift + count, K)
 
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma(entries_hbm, ebuf, sem, start, 0, K, 0).start()
+        _chunk_dma(entries_hbm, ebuf, sem, astart, 0, K, 0).start()
 
     def cond(state):
         c, _color, t_carry, _stopped = state
@@ -112,14 +116,15 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
     def body(state):
         c, color, t_carry, stopped = state
         slot = jax.lax.rem(c, 2)
-        _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot).wait()
+        _chunk_dma(entries_hbm, ebuf, sem, astart, c, K, slot).wait()
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            _chunk_dma(entries_hbm, ebuf, sem, start, c + 1, K, 1 - slot).start()
+            _chunk_dma(entries_hbm, ebuf, sem, astart, c + 1, K, 1 - slot).start()
 
         entries = ebuf[slot]
-        em = (c * K + kidx) < count
+        pos = c * K + kidx - shift
+        em = (pos >= 0) & (pos < count)
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
         col = entries[col0:col0 + 3, :]                          # [3,K]
         color = color + jax.lax.dot_general(
@@ -136,7 +141,7 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
     # drain the prefetch left outstanding by an early exit
     @pl.when(c_fin < n_chunks)
     def _():
-        _chunk_dma(entries_hbm, ebuf, sem, start, c_fin, K,
+        _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin, K,
                    jax.lax.rem(c_fin, 2)).wait()
 
     out_pack[0, :, :] = jnp.concatenate(
@@ -144,19 +149,28 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
 
 
 def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
-                ebuf, gbuf, sem, sem2, *, grid: TileGrid, K: int,
+                ebuf, gbuf, hbuf, sem, sem2, sem3, *, grid: TileGrid, K: int,
                 col0: int = 6):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = starts_ref[t + 1] - start
+    astart = (start // 128) * 128
+    shift = start - astart
     px, py = _pixel_coords(grid, t)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    n_chunks = pl.cdiv(count, K)
+    n_chunks = pl.cdiv(shift + count, K)
 
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma(entries_hbm, ebuf, sem, start, 0, K, 0).start()
+        _chunk_dma(entries_hbm, ebuf, sem, astart, 0, K, 0).start()
+        # head block may hold the previous tile's tail gradients (written
+        # earlier; the grid is sequential): fetch them for the chunk-0 merge
+        @pl.when(shift > 0)
+        def _():
+            pltpu.make_async_copy(
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, 128), K)],
+                hbuf, sem3).start()
 
     gc = cot_pack[0, :, 0:3]                     # [P,3]
     gt_eff = cot_pack[0, :, 3:4]                 # [P,1]
@@ -171,14 +185,15 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
     def body(state):
         c, t_carry, acc_dot, stopped = state
         slot = jax.lax.rem(c, 2)
-        _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot).wait()
+        _chunk_dma(entries_hbm, ebuf, sem, astart, c, K, slot).wait()
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            _chunk_dma(entries_hbm, ebuf, sem, start, c + 1, K, 1 - slot).start()
+            _chunk_dma(entries_hbm, ebuf, sem, astart, c + 1, K, 1 - slot).start()
 
         entries = ebuf[slot]
-        em = (c * K + kidx) < count
+        pos = c * K + kidx - shift
+        em = (pos >= 0) & (pos < count)
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
@@ -218,16 +233,23 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
             + jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True),
             jnp.zeros((ATTR_W - 10, K), jnp.float32),
         ], axis=0)
-        off = pl.multiple_of(start + c * K, 128)
+        off = pl.multiple_of(astart + c * K, 128)
         gslot = jax.lax.rem(c, 2)
         # wait for the previous grad writeback using this slot (c-2)
         @pl.when(c >= 2)
         def _():
             pltpu.make_async_copy(
                 gbuf.at[gslot],
-                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + (c - 2) * K, 128), K)],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart + (c - 2) * K, 128), K)],
                 sem2.at[gslot]).wait()
         gbuf[gslot] = jnp.where(em, g, 0.0)
+        # chunk 0: merge-preserve the previous tile's tail entries
+        @pl.when((c == 0) & (shift > 0))
+        def _():
+            pltpu.make_async_copy(
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, 128), K)],
+                hbuf, sem3).wait()
+            gbuf[gslot] = jnp.where(em, g, hbuf[:, :])
         pltpu.make_async_copy(gbuf.at[gslot],
                               egrad_hbm.at[:, pl.ds(off, K)],
                               sem2.at[gslot]).start()
@@ -250,14 +272,15 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
         def _():
             pltpu.make_async_copy(
                 gbuf.at[jax.lax.rem(ci, 2)],
-                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + ci * K, 128), K)],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart + ci * K, 128), K)],
                 sem2.at[jax.lax.rem(ci, 2)]).wait()
     _drain_grad(c_fin - 2)
     _drain_grad(c_fin - 1)
 
     # early exit leaves chunks [c_fin, n_chunks) unwritten: their true grads
     # are zero (transmittance saturated) — write zeros so no garbage reaches
-    # the reduction
+    # the reduction. c_fin >= 1 always (T starts at 1 >= eps), so these
+    # chunks never cover the head-merge block.
     @pl.when(c_fin < n_chunks)
     def _():
         gbuf[0] = jnp.zeros_like(gbuf[0])
@@ -265,7 +288,7 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
         def zbody(c, _):
             copy = pltpu.make_async_copy(
                 gbuf.at[0],
-                egrad_hbm.at[:, pl.ds(pl.multiple_of(start + c * K, 128), K)],
+                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart + c * K, 128), K)],
                 sem2.at[0])
             copy.start()
             copy.wait()
@@ -314,8 +337,10 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
             scratch_shapes=[
                 pltpu.VMEM((2, table_w, K), jnp.float32),
                 pltpu.VMEM((2, ATTR_W, K), jnp.float32),
+                pltpu.VMEM((ATTR_W, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((ATTR_W, R_pad), jnp.float32)],
@@ -358,7 +383,6 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     no large scatters anywhere.
     """
     T_tiles = grid.num_tiles
-    pool = T_tiles * (K - 1)
     # two-tier duplication slots: every Gaussian owns d1 cheap slots; the few
     # with larger tile rects (sky Gaussians etc.) claim one of m_cap deep
     # slot rows covering rect cells [d1, d_max). Cuts sort size 1.5-5x vs a
@@ -369,8 +393,10 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
     slots1 = n * d1
     slots2 = m_cap * d2_extra
-    R = slots1 + slots2 + pool
-    R_pad = ((R + K - 1) // K) * K + K
+    R = slots1 + slots2
+    # kernels read/write whole [*, K] blocks from the 128-aligned floor of
+    # each tile's start: pad generously past the end
+    R_pad = ((R + K - 1) // K) * K + 2 * K
     # Mosaic requires the sublane (row) dim of DMA-sliced HBM arrays to be
     # 8-aligned
     table_w = ((6 + 3 * n_passes + 7) // 8) * 8
@@ -407,31 +433,11 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             dup2 = (cells2 < tiles_touched[bl][:, None]) & bvalid[:, None]
             key2, _db = _quantized_keys(tile2, depth[bl], dup2, m_cap,
                                         d2_extra, T_tiles)
-        dup_all = (jnp.concatenate([dup1.reshape(-1), dup2.reshape(-1)])
-                   if m_cap > 0 else dup1.reshape(-1))
-
-        # per-tile alignment pool: p_t = (-count_t) mod K active entries per
-        # tile, keyed to the end of the tile's depth range
-        tile_all = (jnp.concatenate([tile1.reshape(-1), tile2.reshape(-1)])
-                    if m_cap > 0 else tile1.reshape(-1))
-        counts = jnp.zeros((T_tiles,), jnp.int32).at[
-            jnp.where(dup_all, tile_all, T_tiles)].add(1, mode="drop")
-        p_t = (-counts) % K
-        pool_tile = jnp.repeat(jnp.arange(T_tiles, dtype=jnp.uint32), K - 1)
-        pool_slot = jnp.tile(jnp.arange(K - 1, dtype=jnp.int32), T_tiles)
-        pool_active = pool_slot < jnp.repeat(p_t, K - 1)
-        max_dq = jnp.uint32((1 << depth_bits) - 1)
-        pool_key = jnp.where(pool_active,
-                             (pool_tile << depth_bits) | max_dq,
-                             jnp.uint32(0xFFFFFFFF))
-
         flat_parts = [jnp.arange(slots1, dtype=jnp.int32)]
         key_parts = [key1]
         if m_cap > 0:
             flat_parts.append(slots1 + jnp.arange(slots2, dtype=jnp.int32))
             key_parts.append(key2)
-        flat_parts.append(jnp.full((pool,), slots1 + slots2, jnp.int32))
-        key_parts.append(pool_key)
         flat = jnp.concatenate(flat_parts)
         key_all = jnp.concatenate(key_parts)
 
@@ -440,8 +446,7 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             if m_cap > 0:
                 parts.append(jnp.broadcast_to(
                     col[bl][:, None], (m_cap, d2_extra)).reshape(-1))
-            parts.append(jnp.zeros((pool,), jnp.float32))
-            return jnp.concatenate(parts)
+            return jnp.concatenate(parts) if m_cap > 0 else parts[0]
 
         payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
                    attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
