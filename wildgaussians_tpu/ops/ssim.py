@@ -24,16 +24,32 @@ def _gaussian_window(window_size: int, sigma: float):
     return np.outer(g, g)
 
 
+@functools.lru_cache(maxsize=8)
+def _gaussian_1d(window_size: int, sigma: float):
+    import numpy as np
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
 def _depthwise_filter(img: jnp.ndarray, window_size: int = 11, sigma: float = 1.5):
-    """Zero-padded depthwise 2D Gaussian filter on [B,H,W,C]."""
+    """Zero-padded depthwise 2D Gaussian filter on [B,H,W,C].
+
+    The window is an outer product of a 1-D Gaussian, so two separable 1-D
+    convolutions (2*W MACs/px) replace the reference's 2-D conv (W^2,
+    method.py:148-157) with identical results up to fp association.
+    """
     c = img.shape[-1]
-    w2 = jnp.asarray(_gaussian_window(window_size, sigma))
-    kernel = jnp.tile(w2[:, :, None, None], (1, 1, 1, c))  # HWIO, I=1 (depthwise)
+    g = jnp.asarray(_gaussian_1d(window_size, sigma))
+    kh = jnp.tile(g[:, None, None, None], (1, 1, 1, c))   # [W,1,1,C]
+    kw = jnp.tile(g[None, :, None, None], (1, 1, 1, c))   # [1,W,1,C]
+    pad = window_size // 2
+    out = jax.lax.conv_general_dilated(
+        img, kh, (1, 1), [(pad, pad), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return jax.lax.conv_general_dilated(
-        img, kernel, window_strides=(1, 1),
-        padding=[(window_size // 2,) * 2] * 2,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
+        out, kw, (1, 1), [(0, 0), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST)
 
 
