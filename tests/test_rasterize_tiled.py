@@ -95,7 +95,8 @@ def test_tiled_grads_match_oracle(rng):
 
 
 def test_absgrad_hook_channel(rng):
-    """The absgrad cotangent is >= |signed mean2d grad| and nonzero."""
+    """The absgrad cotangent ([N,2] |dx|,|dy|) dominates the signed mean2d
+    grad per axis and is nonzero."""
     scene = make_scene(rng, n=100)
     cam = make_camera(width=48, height=32)
     import wildgaussians_tpu.cameras as wc
@@ -111,10 +112,34 @@ def test_absgrad_hook_channel(rng):
             kernel_size=0.1, backend="tiled", absgrad_hook=hook)
         return jnp.mean((out.color - target) ** 2)
 
-    g_abs = np.asarray(jax.grad(loss)(jnp.zeros((n,), jnp.float32)))
+    g_abs = np.asarray(jax.grad(loss)(jnp.zeros((n, 2), jnp.float32)))
+    assert g_abs.shape == (n, 2)
     assert np.isfinite(g_abs).all()
     assert (g_abs >= -1e-7).all()
     assert g_abs.max() > 0
+
+    # |sum over pixels| <= sum over pixels of | |: abs channel dominates the
+    # signed mean2d gradient per axis
+    from wildgaussians_tpu.ops.gaussians import preprocess, compute_cov3d
+
+    def loss_m2d(hook2):
+        cov3d = compute_cov3d(jnp.asarray(scene["scales"]),
+                              jnp.asarray(scene["rotations"]))
+        pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                         jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+        from wildgaussians_tpu.ops.binning import bin_gaussians
+        from wildgaussians_tpu.ops.rasterize_tiled import make_grid, rasterize_tiled
+        grid = make_grid(w, h, 16)
+        binning = bin_gaussians(pre, grid.grid_x, grid.grid_y, 64, sort_mode="exact")
+        color, _t = rasterize_tiled(
+            pre.mean2d + hook2, pre.conic, pre.opacity,
+            jnp.asarray(scene["colors"]), jnp.zeros((n, 2)),
+            binning.sorted_gidx, binning.tile_starts, binning.tile_counts,
+            jnp.zeros((3,)), grid=grid)
+        return jnp.mean((color - target) ** 2)
+
+    g_m2d = np.asarray(jax.grad(loss_m2d)(jnp.zeros((n, 2), jnp.float32)))
+    assert (g_abs + 1e-6 >= np.abs(g_m2d)).all()
 
 
 def test_tiled_fixed_capacity_alive_mask(rng):

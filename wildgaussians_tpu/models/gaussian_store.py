@@ -425,7 +425,9 @@ def update_densification_stats(aux: AuxState, mean2d_grad: jnp.ndarray,
                                absgrad: jnp.ndarray, radii: jnp.ndarray,
                                use_abs: bool) -> AuxState:
     """add_densification_stats + max_radii2D tracking (method.py:1470-1477,
-    1996-1998). mean2d_grad [C,2] signed; absgrad [C]."""
+    1996-1998). mean2d_grad [C,2] signed; absgrad [C]. Both must already be
+    in the reference's NDC-scaled units (pixel grads x 0.5*W / 0.5*H,
+    backward.cu:505,590-595) — densify_grad_threshold assumes them."""
     vis = radii > 0
     gnorm = jnp.linalg.norm(mean2d_grad, axis=-1, keepdims=True)
     aux = aux._replace(

@@ -79,7 +79,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
     if mean2d_hook is None:
         mean2d_hook = jnp.zeros((n, 2), jnp.float32)
     if absgrad_hook is None:
-        absgrad_hook = jnp.zeros((n,), jnp.float32)
+        absgrad_hook = jnp.zeros((n, 2), jnp.float32)
     bg = jnp.zeros((3,), jnp.float32)
 
     if backend == "auto":
@@ -149,8 +149,12 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         raw_img = rendered
     depth = results["depth"][0][..., 0] if "depth" in results else None
 
+    from ..ops.rasterize import overflow_count
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
-    overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
+    overflow = overflow_count(
+        pre, backend, max_tiles_per_gaussian,
+        d_small=getattr(config, "pallas_d_small", 6),
+        big_fraction=getattr(config, "pallas_big_fraction", 0.125))
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
                      depth=depth, num_rendered=num_rendered,

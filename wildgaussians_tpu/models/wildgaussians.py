@@ -280,16 +280,24 @@ class WildGaussians:
             actual_size = (sizes[camera_id, 0], sizes[camera_id, 1])
             n = params["xyz"].shape[0]
             m2d_hook = jnp.zeros((n, 2), jnp.float32)
-            abs_hook = jnp.zeros((n,), jnp.float32)
+            abs_hook = jnp.zeros((n, 2), jnp.float32)
 
             grad_fn = jax.grad(loss_and_render, argnums=(0, 1, 2), has_aux=True)
             (gparams, g_m2d, g_abs), (pkg, metrics, new_bn) = grad_fn(
                 params, m2d_hook, abs_hook, aux, camera_id, pose, intr,
                 actual_size, gt, pixmask, mask, iteration, unc_inputs)
 
-            # densification stats (reference method.py:1995-1998)
+            # densification stats (reference method.py:1995-1998). The hook
+            # gradients are in PIXEL units; the reference CUDA rasterizer
+            # accumulates NDC-scaled ones (pixel grad x 0.5*W / 0.5*H,
+            # backward.cu:505,590-595) and densify_grad_threshold is
+            # calibrated for those units — convert before accumulating.
+            ndc_fac = jnp.stack([0.5 * actual_size[0], 0.5 * actual_size[1]])
+            g_m2d_ndc = g_m2d * ndc_fac[None, :]
+            g_abs_ndc = jnp.sum(g_abs * ndc_fac[None, :], axis=-1)
+
             def upd(aux):
-                return gs.update_densification_stats(aux, g_m2d, g_abs,
+                return gs.update_densification_stats(aux, g_m2d_ndc, g_abs_ndc,
                                                      pkg.radii, use_abs)
             aux = jax.lax.cond(densify_enabled, upd, lambda a: a, aux)
 
@@ -297,8 +305,16 @@ class WildGaussians:
             wd = None
             if config.appearance_enabled and config.appearance_embedding_regularization:
                 wd = {"appearance_embeddings": config.appearance_embedding_regularization}
-            params, adam = gs.adam_update(params, gparams, adam, lrs,
-                                          weight_decay=wd)
+            new_params, new_adam = gs.adam_update(params, gparams, adam, lrs,
+                                                  weight_decay=wd)
+            # the reference skips optimizer.step() on the final iteration
+            # (method.py:2018 'if iteration < iterations'), so the saved model
+            # has no parameter update after the last loss
+            do_step = iteration < config.iterations
+            params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_step, a, b), new_params, params)
+            adam = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do_step, a, b), new_adam, adam)
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
             return params, adam, aux, metrics, new_bn

@@ -17,6 +17,23 @@ from .rasterize_tiled import make_grid, rasterize_tiled
 from .rasterize_reference import rasterize_reference
 
 
+def overflow_count(pre, backend: str, max_tiles_per_gaussian: int,
+                   *, d_small: int = 6, big_fraction: float = 0.125):
+    """Truncated-contribution count, two-tier-aware for the pallas backend.
+
+    Counts (a) Gaussians whose tile rect exceeds max_tiles_per_gaussian and
+    (b) for pallas, big Gaussians beyond the big-pool capacity that keep only
+    their d_small cheap slots (rasterize_pallas._make_pallas_blend_vjp).
+    """
+    overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
+    if backend == "pallas" and max_tiles_per_gaussian > d_small:
+        n = pre.valid.shape[0]
+        m_cap = max(int(n * big_fraction), 8)
+        n_big = jnp.sum((pre.tiles_touched > d_small) & pre.valid)
+        overflow = overflow + jnp.maximum(n_big - m_cap, 0)
+    return overflow
+
+
 class RasterizeResult(NamedTuple):
     color: jnp.ndarray        # [H,W,3]
     final_T: jnp.ndarray      # [H,W]  (accumulation = 1 - final_T)
@@ -57,7 +74,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
     if absgrad_hook is None:
-        absgrad_hook = jnp.zeros((n,), jnp.float32)
+        absgrad_hook = jnp.zeros((n, 2), jnp.float32)
 
     cov3d = compute_cov3d(scales, rotations, scale_modifier)
     pre = preprocess(means3d, cov3d, opacities, camera, width, height,
@@ -73,13 +90,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
 
     grid = make_grid(width, height, tile_size)
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
-    overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
-    if backend == "pallas" and max_tiles_per_gaussian > d_small:
-        # two-tier big-pool truncation: big Gaussians beyond the pool capacity
-        # keep only their d_small cheap slots
-        m_cap = max(int(n * big_fraction), 8)
-        n_big = jnp.sum((pre.tiles_touched > d_small) & pre.valid)
-        overflow = overflow + jnp.maximum(n_big - m_cap, 0)
+    overflow = overflow_count(pre, backend, max_tiles_per_gaussian,
+                              d_small=d_small, big_fraction=big_fraction)
     if backend == "tiled":
         binning = bin_gaussians(pre, grid.grid_x, grid.grid_y,
                                 max_tiles_per_gaussian, sort_mode=sort_mode)

@@ -18,7 +18,7 @@ the per-chunk working set lives in VMEM instead of round-tripping HBM:
 
 Entry table layout [16, R + K] f32 (K columns of zero padding so the final
 chunk never clips): rows x, y, conic_a, conic_b, conic_c, opacity, r, g, b.
-Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabs.
+Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabsx, dabsy.
 Forward output is packed [T, 256, 8]: cols 0..2 = rgb, col 3 = final_T.
 """
 import functools
@@ -229,9 +229,11 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
             jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True),
             dop,
             dcol,
-            jnp.sum(jnp.abs(dmx_pix), axis=0, keepdims=True)
-            + jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True),
-            jnp.zeros((ATTR_W - 10, K), jnp.float32),
+            # separate |dx| / |dy| channels so the caller can apply the
+            # reference's NDC factors (0.5*W vs 0.5*H, backward.cu:593-595)
+            jnp.sum(jnp.abs(dmx_pix), axis=0, keepdims=True),
+            jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True),
+            jnp.zeros((ATTR_W - 11, K), jnp.float32),
         ], axis=0)
         off = pl.multiple_of(astart + c * K, 128)
         gslot = jax.lax.rem(c, 2)
@@ -261,10 +263,14 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
             jnp.zeros((P_PIX, 1), jnp.float32), jnp.zeros((P_PIX, 1), jnp.float32))
     c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain: the early-exit prefetch and the last (up to two) grad writebacks
+    # drain: the early-exit prefetch and the last (up to two) grad writebacks.
+    # NOTE: must use `astart` (the offset the prefetch was STARTED with, line
+    # ~192) — the wait amount happens to be offset-independent today, but a
+    # descriptor built from a different offset would break if the copy shape
+    # ever depended on it.
     @pl.when(c_fin < n_chunks)
     def _():
-        _chunk_dma(entries_hbm, ebuf, sem, start, c_fin, K,
+        _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin, K,
                    jax.lax.rem(c_fin, 2)).wait()
 
     def _drain_grad(ci):
@@ -307,6 +313,12 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     T_tiles = grid.num_tiles
     interpret = _interpret()
 
+    # dimension_semantics: the grid MUST stay sequential ("arbitrary") — the
+    # backward's cross-tile head-merge (see _bwd_kernel chunk-0 path) reads
+    # gradients the PREVIOUS tile wrote to the shared 128-aligned head block.
+    # Annotating "parallel" (the obvious megacore move) would silently race
+    # that merge; the merge needs a redesign (e.g. per-tile private head
+    # blocks + a second reduction) before the grid can ever be parallelized.
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -320,6 +332,8 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((T_tiles, P_PIX, 8), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
 
@@ -345,7 +359,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
         ),
         out_shape=[jax.ShapeDtypeStruct((ATTR_W, R_pad), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            has_side_effects=True),
+            has_side_effects=True, dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
     return fwd_call, bwd_call
@@ -521,7 +535,7 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                 [out_nobg, final_t[i][..., None],
                  jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
             (eg,) = calls[i][1](tile_starts, table, cot_pack, fwd_pack)
-            g_geo = jnp.concatenate([eg[0:6, :R], eg[9:10, :R]], axis=0)
+            g_geo = jnp.concatenate([eg[0:6, :R], eg[9:11, :R]], axis=0)
             geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
             color_rows.append(eg[6:9, :R])
             dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
@@ -529,7 +543,7 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         # rows beyond the covered region were never written by the kernels
         covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
-        all_rows = [geo_rows[j] for j in range(7)]
+        all_rows = [geo_rows[j] for j in range(8)]
         for cr in color_rows:
             all_rows += [cr[0], cr[1], cr[2]]
         unsorted = jax.lax.sort(
@@ -549,9 +563,9 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         dmean2d = jnp.stack([slot_sum(0), slot_sum(1)], axis=1)
         dconic = jnp.stack([slot_sum(2), slot_sum(3), slot_sum(4)], axis=1)
         dop = slot_sum(5)
-        dabs = slot_sum(6)
+        dabs = jnp.stack([slot_sum(6), slot_sum(7)], axis=1)  # [N,2] |dx|,|dy|
         dcolors = jnp.stack(
-            [jnp.stack([slot_sum(7 + 3 * i + c) for c in range(3)], axis=1)
+            [jnp.stack([slot_sum(8 + 3 * i + c) for c in range(3)], axis=1)
              for i in range(n_passes)])
         # non-differentiated geometry inputs: f32 depth gets a zero cotangent
         # (sort order is discrete), int/bool inputs get float0

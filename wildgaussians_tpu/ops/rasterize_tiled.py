@@ -189,7 +189,10 @@ def _blend_bwd_batch(mean2d, conic, opacity, colors, sorted_gidx,
         dmy_pix = dpower * (-(Cc * dy + Bc * dx))
         dmx = jnp.sum(dmx_pix, axis=2)
         dmy = jnp.sum(dmy_pix, axis=2)
-        dabs_e = jnp.sum(jnp.abs(dmx_pix), axis=2) + jnp.sum(jnp.abs(dmy_pix), axis=2)
+        # separate |dx| / |dy| channels: the caller applies the reference's
+        # per-axis NDC factors (0.5*W vs 0.5*H, backward.cu:593-595)
+        dabs_e = jnp.stack([jnp.sum(jnp.abs(dmx_pix), axis=2),
+                            jnp.sum(jnp.abs(dmy_pix), axis=2)], axis=-1)
         da = jnp.sum(dpower * (-0.5 * dx * dx), axis=2)
         db = jnp.sum(dpower * (-dx * dy), axis=2)
         dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=2)
@@ -199,7 +202,7 @@ def _blend_bwd_batch(mean2d, conic, opacity, colors, sorted_gidx,
         dconic = dconic.at[gm].add(jnp.stack([da, db, dc], -1), mode="drop")
         dopacity = dopacity.at[gm].add(dop_e, mode="drop")
         dcolors = dcolors.at[gm].add(jnp.where(em[..., None], dcol_e, 0.0), mode="drop")
-        dabs = dabs.at[gm].add(dabs_e, mode="drop")
+        dabs = dabs.at[gm].add(jnp.where(em[..., None], dabs_e, 0.0), mode="drop")
 
         T = T * jnp.exp(jnp.sum(jnp.where(contrib, l, 0.0), axis=1))
         acc_dot = acc_dot + jnp.sum(wcg, axis=1)
@@ -293,7 +296,7 @@ def _make_tile_blend(grid: TileGrid, K: int, batch_tiles: int):
 
         grads0 = (jnp.zeros((n, 2), jnp.float32), jnp.zeros((n, 3), jnp.float32),
                   jnp.zeros((n,), jnp.float32), jnp.zeros((n, 3), jnp.float32),
-                  jnp.zeros((n,), jnp.float32))
+                  jnp.zeros((n, 2), jnp.float32))
 
         def batch(grads, inp):
             t_ids, starts, counts, onb, fT, gc, gt = inp
@@ -345,8 +348,9 @@ def rasterize_tiled(mean2d, conic, opacity, colors, absgrad_hook,
     """Blend pre-binned Gaussians into an image.
 
     Returns (color [H,W,3] with background, final_T [H,W]).
-    Gradients: mean2d, conic, opacity, colors, bg; `absgrad_hook` ([N] zeros)
-    receives the GOF absolute-gradient channel as its cotangent.
+    Gradients: mean2d, conic, opacity, colors, bg; `absgrad_hook` ([N,2]
+    zeros) receives the GOF absolute-gradient channels (sum|d/dx|, sum|d/dy|)
+    as its cotangent.
     """
     blend = _make_tile_blend(grid, chunk, batch_tiles)
     C, T = blend(mean2d, conic, opacity, colors, absgrad_hook,
