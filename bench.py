@@ -69,11 +69,17 @@ def main():
 
     args = tuple(map(jnp.asarray, (xyz, scales, q, opac, colors)))
 
+    d_max = int(os.environ.get("BENCH_DMAX", 10))
+    # flat slot layout (no big-Gaussian tier) is fastest at small d_max: the
+    # radix-partition path then needs no rank-merge passes
+    d_small = int(os.environ.get("BENCH_DSMALL", d_max))
+    binning = os.environ.get("BENCH_BINNING", "partition")
+
     def loss_fn(xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
                                   kernel_size=0.1, backend=backend,
-                                  max_tiles_per_gaussian=int(
-                                      os.environ.get("BENCH_DMAX", 10)))
+                                  max_tiles_per_gaussian=d_max,
+                                  d_small=d_small, binning=binning)
         return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
                                                        out.overflow)
 

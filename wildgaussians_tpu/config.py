@@ -111,6 +111,9 @@ class Config:
     # max_tiles_per_gaussian for big-footprint Gaussians (sky etc.).
     pallas_d_small: int = 6
     pallas_big_fraction: float = 0.125
+    # Entry binning inside the pallas backend: "partition" (radix partition
+    # engine, production) or "sort" (single wide lax.sort, kept for A/B)
+    pallas_binning: str = "partition"
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

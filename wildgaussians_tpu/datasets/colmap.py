@@ -47,7 +47,22 @@ def _parse_colmap_camera_params(camera: Camera) -> Tuple[np.ndarray, int, np.nda
         fx = fy = p[0]; cx, cy = p[1], p[2]
         d["k1"], d["k2"] = p[3], p[4]
         model = "opencv_fisheye"
+    elif camera.model == "FULL_OPENCV":
+        # fx, fy, cx, cy, k1, k2, p1, p2, k3, k4, k5, k6 — parsed for the
+        # diagnostic path but, exactly like the reference (colmap.py:102-126),
+        # the rational radial model (k4..k6 denominator) is not supported
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+        d["k1"], d["k2"], d["p1"], d["p2"] = p[4], p[5], p[6], p[7]
+        d["k3"], d["k4"], d["k5"], d["k6"] = p[8], p[9], p[10], p[11]
+        raise NotImplementedError(f"{camera.model} camera model is not supported yet!")
+    elif camera.model == "FOV":
+        # fx, fy, cx, cy, omega — parsed but unsupported (reference
+        # colmap.py:128-135 raises identically)
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+        d["omega"] = p[4]
+        raise NotImplementedError(f"{camera.model} camera model is not supported yet!")
     else:
+        # incl. THIN_PRISM_FISHEYE (reference colmap.py:178-180)
         raise NotImplementedError(f"{camera.model} camera model is not supported yet!")
     intrinsics = np.array([fx, fy, cx, cy], dtype=np.float32)
     distortion = np.array([d.get(k, 0.0) for k in _DISTORTION_KEYS], dtype=np.float32)

@@ -126,7 +126,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             pre.valid, bg, grid=grid, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             d_small=getattr(config, "pallas_d_small", 6),
-            big_fraction=getattr(config, "pallas_big_fraction", 0.125))
+            big_fraction=getattr(config, "pallas_big_fraction", 0.125),
+            binning=getattr(config, "pallas_binning", "partition"))
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(

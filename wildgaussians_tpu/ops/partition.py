@@ -118,7 +118,7 @@ def histogram(keys, num_buckets: int):
 # in-chunk permutation (shared by forward and inverse kernels)
 # --------------------------------------------------------------------------
 
-def _chunk_perm(keys_1E, p: int, B: int, E: int):
+def chunk_perm(keys_1E, p: int, B: int, E: int):
     """Stable grouping permutation of one chunk by digit p of its keys.
 
     keys_1E: [1, E] f32 integer keys. Returns (P_row [E, E] f32 one-hot with
@@ -128,7 +128,8 @@ def _chunk_perm(keys_1E, p: int, B: int, E: int):
     scale = 1.0 / float(B ** p)
     d = jnp.floor(keys_1E * scale)
     d = d - jnp.floor(d * (1.0 / B)) * B                      # [1, E]
-    iota_be = jax.lax.broadcasted_iota(jnp.float32, (B, E), 0)
+    # NOTE: Mosaic only supports integer iota; cast afterwards
+    iota_be = jax.lax.broadcasted_iota(jnp.int32, (B, E), 0).astype(jnp.float32)
     M = (iota_be == d).astype(jnp.float32)                    # [B, E]
     rr = jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
@@ -146,7 +147,7 @@ def _chunk_perm(keys_1E, p: int, B: int, E: int):
     rank = jnp.zeros((1, E), jnp.float32)
     for b in range(B):
         rank = rank + M[b:b + 1] * (runs[b] + prefix[b:b + 1] - 1.0)
-    iota_ee = jax.lax.broadcasted_iota(jnp.float32, (E, E), 0)
+    iota_ee = jax.lax.broadcasted_iota(jnp.int32, (E, E), 0).astype(jnp.float32)
     P_row = (iota_ee == rank).astype(jnp.float32)             # [j, lane]
     return P_row, counts, runs
 
@@ -172,14 +173,16 @@ def _apply_perm_inv(grouped, P_row):
 def _pass_kernel(bases_ref, in_hbm, out_hbm,
                  ibuf, isem, stage, fbuf, fsem,
                  fill_s, rbase_s, cursor_s, oflag_s,
-                 *, rows, E, B, p, R_out, n_chunks, CPB, sentinel, interpret):
+                 *, rows, E, B, p, R_out, n_chunks, CPB, sentinel, interpret,
+                 tail_blocks, key_row=0):
     pid = pl.program_id(0)
     n_super = pl.num_programs(0)
     E2 = 2 * E
 
     def in_dma(c, slot):
+        off = pl.multiple_of(c * E, 128)
         return pltpu.make_async_copy(
-            in_hbm.at[:, pl.ds(c * E, E)], ibuf.at[slot], isem.at[slot])
+            in_hbm.at[:, pl.ds(off, E)], ibuf.at[slot], isem.at[slot])
 
     @pl.when(pid == 0)
     def _():
@@ -203,7 +206,8 @@ def _pass_kernel(bases_ref, in_hbm, out_hbm,
                 in_dma(c + 1, 1 - slot).start()
 
             chunk = ibuf[slot]                                # [rows, E]
-            P_row, counts, runs = _chunk_perm(chunk[0:1, :], p, B, E)
+            P_row, counts, runs = chunk_perm(
+                chunk[key_row:key_row + 1, :], p, B, E)
             grouped = _apply_perm(chunk, P_row)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, E2), 1)
 
@@ -231,13 +235,14 @@ def _pass_kernel(bases_ref, in_hbm, out_hbm,
                         def _():
                             pltpu.make_async_copy(
                                 fbuf.at[b],
-                                out_hbm.at[:, pl.ds(cursor_s[b] - E, E)],
+                                out_hbm.at[:, pl.ds(
+                                    pl.multiple_of(cursor_s[b] - E, 128), E)],
                                 fsem.at[b]).wait()
                         front = _roll(stage[b],
                                       jax.lax.rem(E2 - rbase, E2), axis=1,
                                       interpret=interpret)[:, :E]
                         fbuf[b] = front
-                        cur = cursor_s[b]
+                        cur = pl.multiple_of(cursor_s[b], 128)
                         pltpu.make_async_copy(
                             fbuf.at[b], out_hbm.at[:, pl.ds(cur, E)],
                             fsem.at[b]).start()
@@ -256,7 +261,9 @@ def _pass_kernel(bases_ref, in_hbm, out_hbm,
             @pl.when(oflag_s[b] == 1)
             def _(b=b):
                 pltpu.make_async_copy(
-                    fbuf.at[b], out_hbm.at[:, pl.ds(cursor_s[b] - E, E)],
+                    fbuf.at[b],
+                    out_hbm.at[:, pl.ds(
+                        pl.multiple_of(cursor_s[b] - E, 128), E)],
                     fsem.at[b]).wait()
                 oflag_s[b] = 0
 
@@ -267,40 +274,44 @@ def _pass_kernel(bases_ref, in_hbm, out_hbm,
                               jax.lax.rem(E2 - rbase_s[b], E2), axis=1,
                               interpret=interpret)[:, :E]
                 mask = lane1 < fill
-                keys = jnp.where(mask, front[0:1, :], float(sentinel))
-                rest = jnp.where(mask, front[1:, :], 0.0)
-                fbuf[b] = jnp.concatenate([keys, rest], axis=0)
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, E), 0)
+                sent_fill = jnp.where(rowi == key_row, float(sentinel), 0.0)
+                fbuf[b] = jnp.where(mask, front, sent_fill)
                 copy = pltpu.make_async_copy(
-                    fbuf.at[b], out_hbm.at[:, pl.ds(cursor_s[b], E)],
+                    fbuf.at[b],
+                    out_hbm.at[:, pl.ds(pl.multiple_of(cursor_s[b], 128), E)],
                     fsem.at[b])
                 copy.start()
                 copy.wait()
         # sentinel-fill the tail [bases[B], R_out)
-        sent = jnp.concatenate(
-            [jnp.full((1, E), float(sentinel), jnp.float32),
-             jnp.zeros((rows - 1, E), jnp.float32)], axis=0)
-        fbuf[0] = sent
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, E), 0)
+        fbuf[0] = jnp.where(rowi == key_row, float(sentinel), 0.0)
 
         def tail(i, cur):
             @pl.when(cur < R_out)
             def _():
                 copy = pltpu.make_async_copy(
-                    fbuf.at[0], out_hbm.at[:, pl.ds(cur, E)], fsem.at[0])
+                    fbuf.at[0],
+                    out_hbm.at[:, pl.ds(pl.multiple_of(cur, 128), E)],
+                    fsem.at[0])
                 copy.start()
                 copy.wait()
             return cur + E
 
-        jax.lax.fori_loop(0, B, tail, bases_ref[B])
+        jax.lax.fori_loop(0, tail_blocks, tail, bases_ref[B])
 
 
 @functools.lru_cache(maxsize=64)
-def _make_pass_call(rows, R_in, R_out, E, B, p, sentinel, CPB, interpret):
+def _make_pass_call(rows, R_in, R_out, E, B, p, sentinel, CPB, interpret,
+                    key_row=0):
     n_chunks = R_in // E
     n_super = (n_chunks + CPB - 1) // CPB
+    tail_blocks = (R_out - (R_in + (B - 1) * E)) // E + B  # upper bound
     return pl.pallas_call(
         functools.partial(_pass_kernel, rows=rows, E=E, B=B, p=p,
                           R_out=R_out, n_chunks=n_chunks, CPB=CPB,
-                          sentinel=sentinel, interpret=interpret),
+                          sentinel=sentinel, interpret=interpret,
+                          tail_blocks=tail_blocks, key_row=key_row),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_super,),
@@ -338,12 +349,14 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
     E2 = 2 * E
 
     def refill_dma(b, cur):
+        off = pl.multiple_of(cur, 128)
         return pltpu.make_async_copy(
-            gin_hbm.at[:, pl.ds(cur, E)], rbuf.at[b], rsem.at[b])
+            gin_hbm.at[:, pl.ds(off, E)], rbuf.at[b], rsem.at[b])
 
     def keys_dma(sp, slot):
+        off = pl.multiple_of(sp * CPB, 8)
         return pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(sp * CPB, CPB), :], kbuf.at[slot],
+            keys_hbm.at[pl.ds(off, CPB), :], kbuf.at[slot],
             ksem.at[slot])
 
     @pl.when(pid == 0)
@@ -373,7 +386,7 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
         @pl.when(c < n_chunks)
         def _():
             kc = kbuf[kslot, pl.ds(j, 1), :]                   # [1, E]
-            P_row, counts, runs = _chunk_perm(kc, p, B, E)
+            P_row, counts, runs = chunk_perm(kc, p, B, E)
             lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, E2), 1)
             abuf[...] = jnp.zeros((grows, E), jnp.float32)
@@ -420,11 +433,12 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
             def _():
                 pltpu.make_async_copy(
                     obuf.at[oslot],
-                    gout_hbm.at[:, pl.ds((c - 2) * E, E)],
+                    gout_hbm.at[:, pl.ds(pl.multiple_of((c - 2) * E, 128), E)],
                     osem.at[oslot]).wait()
             obuf[oslot] = out_chunk
             pltpu.make_async_copy(
-                obuf.at[oslot], gout_hbm.at[:, pl.ds(c * E, E)],
+                obuf.at[oslot],
+                gout_hbm.at[:, pl.ds(pl.multiple_of(c * E, 128), E)],
                 osem.at[oslot]).start()
         return 0
 
@@ -437,7 +451,7 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
             def _():
                 pltpu.make_async_copy(
                     obuf.at[jax.lax.rem(ci, 2)],
-                    gout_hbm.at[:, pl.ds(ci * E, E)],
+                    gout_hbm.at[:, pl.ds(pl.multiple_of(ci * E, 128), E)],
                     osem.at[jax.lax.rem(ci, 2)]).wait()
         drain_out(n_chunks - 2)
         drain_out(n_chunks - 1)
@@ -487,41 +501,45 @@ def _make_inv_pass_call(grows, R_in, R_out, E, B, p, CPB, interpret):
 # --------------------------------------------------------------------------
 
 def radix_partition(table, num_buckets: int, *, B: int = 16, E: int = 256,
-                    CPB: int = 8, interpret=None):
+                    CPB: int = 8, tail_pad: int = 0, key_row: int = 0,
+                    interpret=None):
     """Stably partition table columns by the integer key in row 0.
 
     table: [rows, R] f32, rows % 8 == 0, R % E == 0, finite values. Keys in
     row 0 must be exact integers; any key >= num_buckets marks an invalid
     entry and is remapped to the sentinel (sorted to the very end).
 
-    Returns (out [rows, R + L*B*E], meta). Bucket k's entries sit at
-    [starts[k], starts[k] + counts[k]) of `out` (see bucket_ranges); other
-    positions hold sentinel entries with zero payloads.
+    Returns (out [rows, R + L*B*E + tail_pad], meta). Bucket k's entries sit
+    at [starts[k], starts[k] + counts[k]) of `out` (see bucket_ranges);
+    other positions hold sentinel entries with zero payloads. `tail_pad`
+    (multiple of E) adds extra guaranteed-sentinel margin after the last
+    pass for consumers that read past segment ends.
     """
     if interpret is None:
         interpret = default_interpret()
     rows, R0 = table.shape
-    assert rows % 8 == 0 and R0 % E == 0, (rows, R0, E)
+    assert rows % 8 == 0 and R0 % E == 0 and tail_pad % E == 0, \
+        (rows, R0, E, tail_pad)
     L = num_passes(num_buckets, B)
     keyspace = B ** L
     assert keyspace <= (1 << 24), "keys must stay exact in f32"
     sentinel = keyspace - 1
 
-    keys = table[0]
+    keys = table[key_row]
     keys = jnp.where(keys >= num_buckets, float(sentinel), keys)
-    cur = jnp.concatenate([keys[None], table[1:]], axis=0)
+    cur = table.at[key_row].set(keys)
 
     bases_list, saved = [], []
     R = R0
     for p in range(L):
-        k = cur[0]
+        k = cur[key_row]
         counts = _digit_counts(k, p, B)
         bases = _aligned_bases(counts, E)
         saved.append(k)
         bases_list.append(bases)
-        R_out = R + B * E
+        R_out = R + B * E + (tail_pad if p == L - 1 else 0)
         call = _make_pass_call(rows, R, R_out, E, B, p, sentinel, CPB,
-                               interpret)
+                               interpret, key_row)
         (cur,) = call(bases, cur)
         R = R_out
 
@@ -561,7 +579,8 @@ def radix_unpartition(gtable, meta: PartitionMeta, *, CPB: int = 8,
     grows, R_L = gtable.shape
     assert grows % 8 == 0
     B, E, L = meta.B, meta.E, meta.L
-    assert R_L == meta.R0 + L * B * E, (R_L, meta.R0, L, B, E)
+    # tail_pad margin beyond R0 + L*B*E is permitted and never read
+    assert R_L >= meta.R0 + L * B * E, (R_L, meta.R0, L, B, E)
 
     cur = gtable
     for p in reversed(range(L)):

@@ -17,6 +17,15 @@ from .rasterize_tiled import make_grid, rasterize_tiled
 from .rasterize_reference import rasterize_reference
 
 
+def mark_visible(means3d: jnp.ndarray, camera: CameraParams) -> jnp.ndarray:
+    """Frustum-visibility test, [N] bool (reference markVisible,
+    diff_gaussian_rasterization/__init__.py:197-206 -> in_frustum,
+    auxiliary.h:139-164: visible iff view-space z > 0.2)."""
+    z = (jnp.concatenate([means3d, jnp.ones_like(means3d[..., :1])], axis=-1)
+         * camera.viewmatrix[2]).sum(-1)
+    return z > 0.2
+
+
 def overflow_count(pre, backend: str, max_tiles_per_gaussian: int,
                    *, d_small: int = 6, big_fraction: float = 0.125):
     """Truncated-contribution count, two-tier-aware for the pallas backend.
@@ -62,6 +71,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         sort_mode: str = "quantized",
                         d_small: int = 6,
                         big_fraction: float = 0.125,
+                        binning: str = "partition",
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
@@ -106,7 +116,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
             colors, absgrad_hook, pre.depth, pre.rect_min, pre.rect_max,
             pre.tiles_touched, pre.valid, bg, grid=grid, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            d_small=d_small, big_fraction=big_fraction)
+            d_small=d_small, big_fraction=big_fraction, binning=binning)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)

@@ -3,9 +3,9 @@
 Same math as rasterize_tiled.py (prefix sums in log-transmittance space), but
 the per-chunk working set lives in VMEM instead of round-tripping HBM:
 
-  - grid = one program per 16x16 tile; per-tile entry ranges via scalar
-    prefetch (tile_starts), contiguous dynamic-slice DMA of the depth-sorted
-    entry table (the analogue of the CUDA kernel's cooperative shared-memory
+  - grid = one program per 16x16 tile; per-tile entry (start, count) via
+    scalar prefetch, contiguous dynamic-slice DMA of the depth-sorted entry
+    table (the analogue of the CUDA kernel's cooperative shared-memory
     staging, forward.cu:316-343)
   - layout: pixels (256) ride the sublane axis, chunk Gaussians (K=256) the
     lane axis, so the entry-table DMA slices are lane-aligned; the inclusive
@@ -13,11 +13,18 @@ the per-chunk working set lives in VMEM instead of round-tripping HBM:
     on the MXU, and color accumulation a [P,K]x[K,3] matmul
   - per-tile early exit (T < 1e-4 everywhere) via a while loop over chunks
   - backward: per-entry gradients written contiguously (no atomics; each
-    sorted entry belongs to exactly one tile), reduced to per-Gaussian slots
-    by one deterministic XLA scatter-add — replacing backward.cu's atomicAdd
+    sorted entry belongs to exactly one tile), then reduced to per-Gaussian
+    values — replacing backward.cu's atomicAdd
 
-Entry table layout [16, R + K] f32 (K columns of zero padding so the final
-chunk never clips): rows x, y, conic_a, conic_b, conic_c, opacity, r, g, b.
+Two binning strategies feed these kernels:
+  - "partition" (production, _make_partition_blend_vjp): depth presort +
+    stable radix partitions from ops/partition.py; the backward un-permutes
+    per-entry gradients with the exact inverse partition.
+  - "sort" (_make_pallas_blend_vjp, kept for A/B): one wide lax.sort with
+    attributes as payloads; the backward re-sorts gradients by slot index.
+
+Entry table layout [16, R] f32: optional key rows (partition path), then
+rows x, y, conic_a, conic_b, conic_c, opacity, r, g, b per color pass.
 Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabsx, dabsy.
 Forward output is packed [T, 256, 8]: cols 0..2 = rgb, col 3 = final_T.
 """
@@ -54,16 +61,18 @@ def _pixel_coords(grid: TileGrid, t):
     return px, py
 
 
-def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu):
+def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0):
     """Forward recurrence for one chunk. entries [ATTR_W, K]; returns [P,K]
     tensors + per-pixel [P,1] carries. `stopped_f` is a 0/1 float mask
-    (Mosaic cannot carry i1 vectors through scf.while)."""
-    x = entries[0:1, :]
-    y = entries[1:2, :]
-    ca = entries[2:3, :]
-    cb = entries[3:4, :]
-    cc = entries[4:5, :]
-    op = entries[5:6, :]
+    (Mosaic cannot carry i1 vectors through scf.while). `a0` is the row of
+    the first geometry attribute (1 for partition-built tables whose row 0
+    is the sort key)."""
+    x = entries[a0:a0 + 1, :]
+    y = entries[a0 + 1:a0 + 2, :]
+    ca = entries[a0 + 2:a0 + 3, :]
+    cb = entries[a0 + 3:a0 + 4, :]
+    cc = entries[a0 + 4:a0 + 5, :]
+    op = entries[a0 + 5:a0 + 6, :]
     dx = x - px                     # [P,K]
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -91,16 +100,18 @@ def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
         entries_hbm.at[:, pl.ds(off, K)], ebuf.at[slot], sem.at[slot])
 
 
-def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
-                *, grid: TileGrid, K: int, col0: int = 6):
+def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
+                ebuf, sem,
+                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = starts_ref[t + 1] - start
+    count = counts_ref[t]
+    gt = t + tbase_ref[0]      # global tile id (sharded: shard-local t)
     # tile ranges are NOT aligned; DMA from the 128-aligned floor and mask the
     # foreign head/tail entries (they belong to neighbouring tiles)
     astart = (start // 128) * 128
     shift = start - astart
-    px, py = _pixel_coords(grid, t)
+    px, py = _pixel_coords(grid, gt)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
@@ -125,7 +136,7 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
         entries = ebuf[slot]
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
-        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
+        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0)
         col = entries[col0:col0 + 3, :]                          # [3,K]
         color = color + jax.lax.dot_general(
             st["w"], col, (((1,), (1,)), ((), ())),
@@ -148,15 +159,16 @@ def _fwd_kernel(starts_ref, entries_hbm, out_pack, ebuf, sem,
         [color, t_carry, jnp.zeros((P_PIX, 4), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
-                ebuf, gbuf, hbuf, sem, sem2, sem3, *, grid: TileGrid, K: int,
-                col0: int = 6):
+def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
+                fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
+                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0):
     t = pl.program_id(0)
     start = starts_ref[t]
-    count = starts_ref[t + 1] - start
+    count = counts_ref[t]
+    gt = t + tbase_ref[0]      # global tile id (sharded: shard-local t)
     astart = (start // 128) * 128
     shift = start - astart
-    px, py = _pixel_coords(grid, t)
+    px, py = _pixel_coords(grid, gt)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
@@ -194,7 +206,7 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
         entries = ebuf[slot]
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
-        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu)
+        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
         col = entries[col0:col0 + 3, :]                              # [3,K]
@@ -207,14 +219,14 @@ def _bwd_kernel(starts_ref, entries_hbm, cot_pack, fwd_pack, egrad_hbm,
             st["contrib"],
             st["t_at"] * cg - (suffix + gt_eff * final_t) / one_m_a, 0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
-        op = entries[5:6, :]
+        op = entries[a0 + 5:a0 + 6, :]
         epow = jnp.where(use, alpha / jnp.where(use, op, 1.0), 0.0)
         dop = jnp.sum(dalpha_eff * epow, axis=0, keepdims=True)      # [1,K]
         dpower = dalpha_eff * alpha
 
-        ca = entries[2:3, :]
-        cb = entries[3:4, :]
-        cc = entries[4:5, :]
+        ca = entries[a0 + 2:a0 + 3, :]
+        cb = entries[a0 + 3:a0 + 4, :]
+        cc = entries[a0 + 4:a0 + 5, :]
         dmx_pix = dpower * (-(ca * dx + cb * dy))
         dmy_pix = dpower * (-(cc * dy + cb * dx))
         # dcol [3,K]: contract the pixel axis
@@ -309,8 +321,9 @@ def _interpret() -> bool:
 
 @functools.lru_cache(maxsize=64)
 def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
-                       table_w: int = ATTR_W, col0: int = 6):
-    T_tiles = grid.num_tiles
+                       table_w: int = ATTR_W, col0: int = 6, a0: int = 0,
+                       T_prog: int = 0):
+    T_tiles = T_prog or grid.num_tiles   # programs (= tiles this call blends)
     interpret = _interpret()
 
     # dimension_semantics: the grid MUST stay sequential ("arbitrary") — the
@@ -320,9 +333,9 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     # that merge; the merge needs a redesign (e.g. per-tile private head
     # blocks + a second reduction) before the grid can ever be parallelized.
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0),
+        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0, a0=a0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(T_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=[pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0))],
@@ -338,9 +351,9 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0),
+        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0, a0=a0),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(T_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),                    # entries
@@ -483,43 +496,46 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                   << jnp.uint32(depth_bits))
         tile_starts = jnp.searchsorted(sorted_key, bounds,
                                        side="left").astype(jnp.int32)
+        tile_counts = tile_starts[1:] - tile_starts[:-1]
         big_list_out = big_list if m_cap > 0 else jnp.zeros((0,), jnp.int32)
-        return table, sorted_flat, tile_starts, big_list_out
+        return table, sorted_flat, tile_starts, tile_counts, big_list_out
 
     def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
                 rect_max, tiles_touched, valid, bg):
-        table, sorted_flat, tile_starts, big_list = _sort_entries(
+        table, sorted_flat, tile_starts, tile_counts, big_list = _sort_entries(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
+        zb = jnp.zeros((1,), jnp.int32)
         Cs, Ts = [], []
         for i in range(n_passes):
-            (pack,) = calls[i][0](tile_starts, table)
+            (pack,) = calls[i][0](zb, tile_starts, tile_counts, table)
             final_t = pack[:, :, 3]
             Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
             Ts.append(final_t)
         C = jnp.stack(Cs)
         T = jnp.stack(Ts)
-        return C, T, table, sorted_flat, tile_starts, big_list
+        return C, T, table, sorted_flat, tile_starts, tile_counts, big_list
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
               depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, _tb, _sf, _ts, _bl = forward(mean2d, conic, opacity,
-                                           colors_stack, depth, rect_min,
-                                           rect_max, tiles_touched, valid, bg)
-        return C, T
+        out = forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                      rect_max, tiles_touched, valid, bg)
+        return out[0], out[1]
 
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
             depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, table, sorted_flat, tile_starts, big_list = forward(
+        C, T, table, sorted_flat, tile_starts, tile_counts, big_list = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid, bg)
-        return (C, T), (table, sorted_flat, tile_starts, big_list, bg, C, T)
+        return (C, T), (table, sorted_flat, tile_starts, tile_counts,
+                        big_list, bg, C, T)
 
     def bwd(res, cot):
-        table, sorted_flat, tile_starts, big_list, bg, C_out, final_t = res
+        (table, sorted_flat, tile_starts, tile_counts, big_list, bg, C_out,
+         final_t) = res
         gC, gT = cot   # [np,T,P,3], [np,T,P]
 
         geo_rows = None
@@ -534,7 +550,8 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             fwd_pack = jnp.concatenate(
                 [out_nobg, final_t[i][..., None],
                  jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            (eg,) = calls[i][1](tile_starts, table, cot_pack, fwd_pack)
+            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), tile_starts,
+                                tile_counts, table, cot_pack, fwd_pack)
             g_geo = jnp.concatenate([eg[0:6, :R], eg[9:11, :R]], axis=0)
             geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
             color_rows.append(eg[6:9, :R])
@@ -578,19 +595,343 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     return blend
 
 
+PRESORT_NB = (1 << 24) - 1   # depth keyspace: positive-f32 bit patterns >> 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=32)
+def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
+                              n_passes: int = 1, d_small: int = 6,
+                              big_fraction: float = 0.125):
+    """Partition-centric pallas rasterizer (v3).
+
+    Replaces the two wide lax.sort calls of the sort-centric design (~110 ms
+    each at bench scale) with the radix partition engine (ops/partition.py):
+
+      1. Gaussians are stably presorted ONCE by monotone positive-f32 depth
+         bits (n-sized, 6 radix passes) — full 24-bit depth order, finer
+         than the old quantized sort keys.
+      2. Duplication into tile cells happens in rank-major slot order, so
+         the global entry order is depth-major (rank-major).
+      3. When the two-tier slot pool is active, tier-2 entries sit after
+         all tier-1 entries in slot order, so a stable tile partition alone
+         would place them out of depth order within a tile. A chain of
+         stable LSB-first partitions by RANK (key row 0) first merges the
+         two rank-sorted tiers into one rank-major stream; the tile
+         partition (key row 1, tile ids shifted +1 so invalid entries and
+         rank-pass holes pool in a dead bucket 0) then yields tile segments
+         that are exactly depth-sorted — the same order as the reference's
+         64-bit [tile | depth] CUB radix sort (rasterizer_impl.cu:303-311).
+         With d_max <= d_small there is no tier 2 and the rank passes are
+         skipped entirely.
+
+    The backward inverts each step exactly instead of re-sorting: per-entry
+    gradients return to slot order through the inverse tile (and rank)
+    partitions, are reduced per rank (tier sums), and the inverse presort
+    restores the original Gaussian order.
+    """
+    from .partition import (PartitionMeta, radix_partition,
+                            radix_unpartition, bucket_ranges, num_passes)
+
+    T_tiles = grid.num_tiles
+    E = 256
+    B = 16
+    d1 = min(d_small, d_max)
+    d2_extra = d_max - d1
+    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    tiered = m_cap > 0
+    n_pad = _round_up(n, E)
+    L1 = num_passes(PRESORT_NB, B)
+    n1 = n_pad + L1 * B * E                 # rank-space size (incl. holes)
+    slots1 = n1 * d1
+    slots2 = m_cap * d2_extra
+    R0 = _round_up(slots1 + slots2, E)
+    L_A = num_passes(n1, B) if tiered else 0
+    R_A = R0 + L_A * B * E                  # after the rank-merge chain
+    tile_nb = T_tiles + 1 if tiered else T_tiles
+    L2 = num_passes(tile_nb, B)
+    TAIL = _round_up(2 * K, E)
+    R_L = R_A + L2 * B * E + TAIL           # final entry-table width
+
+    nkey = 2 if tiered else 1               # leading key rows of dup table
+    pres_rows_used = 12 + 3 * n_passes      # key,6 geo,colors,rect3,tt,valid
+    pres_w = _round_up(pres_rows_used, 8)
+    table_w = _round_up(nkey + 6 + 3 * n_passes, 8)
+    grows_used = 8 + 3 * n_passes           # geo6 + absx/absy + colors
+    grows = _round_up(grows_used, 8)
+    rm = 7 + 3 * n_passes                   # first rect row in presort table
+
+    calls = [_make_pallas_calls(grid, K, R_L, table_w, nkey + 6 + 3 * i,
+                                nkey)
+             for i in range(n_passes)]
+    interpret = _interpret()
+
+    def pres_meta(bases, keys):
+        return PartitionMeta(E=E, B=B, L=L1, R0=n_pad,
+                             num_buckets=PRESORT_NB, keyspace=B ** L1,
+                             bases=bases, saved_keys=keys)
+
+    def rank_meta(bases, keys):
+        return PartitionMeta(E=E, B=B, L=L_A, R0=R0, num_buckets=n1,
+                             keyspace=B ** L_A, bases=bases, saved_keys=keys)
+
+    def tile_meta(bases, keys):
+        return PartitionMeta(E=E, B=B, L=L2, R0=R_A, num_buckets=tile_nb,
+                             keyspace=B ** L2, bases=bases, saved_keys=keys)
+
+    def depth_key(depth, valid):
+        dpos = jnp.maximum(depth, 0.0)
+        bits = jax.lax.bitcast_convert_type(dpos, jnp.uint32) >> 8
+        key = jnp.minimum(bits, jnp.uint32(PRESORT_NB - 1)).astype(jnp.float32)
+        return jnp.where(valid, key, float(PRESORT_NB))
+
+    def pad_n(col):
+        return jnp.concatenate(
+            [col.astype(jnp.float32), jnp.zeros((n_pad - n,), jnp.float32)])
+
+    def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                rect_max, tiles_touched, valid, bg):
+        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+        rows = [pad_n(depth_key(depth, valid)),
+                pad_n(mean2d[:, 0]), pad_n(mean2d[:, 1]),
+                pad_n(conic[:, 0]), pad_n(conic[:, 1]), pad_n(conic[:, 2]),
+                pad_n(opacity)]
+        for i in range(n_passes):
+            rows += [pad_n(colors_stack[i, :, 0]),
+                     pad_n(colors_stack[i, :, 1]),
+                     pad_n(colors_stack[i, :, 2])]
+        rows += [pad_n(rect_min[:, 0]), pad_n(rect_min[:, 1]),
+                 pad_n(rect_w), pad_n(jnp.minimum(tiles_touched, d_max)),
+                 pad_n(valid)]
+        while len(rows) < pres_w:
+            rows.append(jnp.zeros((n_pad,), jnp.float32))
+        ptab = jnp.stack(rows)
+        psorted, pmeta = radix_partition(ptab, PRESORT_NB, B=B, E=E,
+                                         interpret=interpret)
+
+        # rank-space columns (presort holes carry valid=0 payloads)
+        rminx = psorted[rm].astype(jnp.int32)
+        rminy = psorted[rm + 1].astype(jnp.int32)
+        rw = jnp.maximum(psorted[rm + 2].astype(jnp.int32), 1)
+        tt_r = psorted[rm + 3].astype(jnp.int32)
+        valid_r = psorted[rm + 4] > 0.5
+
+        def tile_of_cell(rx, ry, w, cell):
+            ty = ry[:, None] + cell // w[:, None]
+            tx = rx[:, None] + cell % w[:, None]
+            return (ty * grid.grid_x + tx).astype(jnp.float32)
+
+        cells1 = jnp.arange(d1, dtype=jnp.int32)[None, :]
+        tile1 = tile_of_cell(rminx, rminy, rw, cells1)
+        dup1 = (cells1 < tt_r[:, None]) & valid_r[:, None]
+        if tiered:
+            tkey_parts = [jnp.where(dup1, tile1 + 1.0, 0.0).reshape(-1)]
+            ranks1 = jnp.broadcast_to(
+                jnp.arange(n1, dtype=jnp.float32)[:, None], (n1, d1))
+            rkey_parts = [jnp.where(dup1, ranks1, float(n1)).reshape(-1)]
+        else:
+            tkey_parts = [jnp.where(dup1, tile1, float(T_tiles)).reshape(-1)]
+            rkey_parts = None
+
+        if tiered:
+            is_big = (tt_r > d1) & valid_r
+            brank = jnp.cumsum(is_big) - 1
+            ok = is_big & (brank < m_cap)
+            big_list = jnp.full((m_cap,), n1, jnp.int32).at[
+                jnp.where(ok, brank, m_cap)].set(
+                    jnp.arange(n1, dtype=jnp.int32), mode="drop")
+            bvalid = big_list < n1
+            blc = jnp.minimum(big_list, n1 - 1)
+            cells2 = d1 + jnp.arange(d2_extra, dtype=jnp.int32)[None, :]
+            tile2 = tile_of_cell(rminx[blc], rminy[blc], rw[blc], cells2)
+            dup2 = (cells2 < tt_r[blc][:, None]) & bvalid[:, None]
+            tkey_parts.append(
+                jnp.where(dup2, tile2 + 1.0, 0.0).reshape(-1))
+            ranks2 = jnp.broadcast_to(blc[:, None].astype(jnp.float32),
+                                      (m_cap, d2_extra))
+            rkey_parts.append(
+                jnp.where(dup2, ranks2, float(n1)).reshape(-1))
+        else:
+            big_list = jnp.zeros((0,), jnp.int32)
+            blc = None
+
+        pad_tail = R0 - (slots1 + slots2)
+        if pad_tail:
+            fillv = 0.0 if tiered else float(T_tiles)
+            tkey_parts.append(jnp.full((pad_tail,), fillv, jnp.float32))
+            if tiered:
+                rkey_parts.append(jnp.full((pad_tail,), float(n1),
+                                           jnp.float32))
+
+        def cat(parts):
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        def attr(row_idx):
+            col = psorted[row_idx]
+            parts = [jnp.broadcast_to(col[:, None], (n1, d1)).reshape(-1)]
+            if tiered:
+                parts.append(jnp.broadcast_to(
+                    col[blc][:, None], (m_cap, d2_extra)).reshape(-1))
+            if pad_tail:
+                parts.append(jnp.zeros((pad_tail,), jnp.float32))
+            return cat(parts)
+
+        trows = ([cat(rkey_parts)] if tiered else []) + [cat(tkey_parts)]
+        trows += [attr(j) for j in range(1, 7 + 3 * n_passes)]
+        while len(trows) < table_w:
+            trows.append(jnp.zeros((R0,), jnp.float32))
+        dtab = jnp.stack(trows)
+
+        if tiered:
+            # merge the two rank-sorted tiers into one rank-major stream,
+            # then group by tile (stability preserves rank = depth order)
+            asorted, ameta = radix_partition(dtab, n1, B=B, E=E, key_row=0,
+                                             interpret=interpret)
+            tsorted, tmeta = radix_partition(asorted, tile_nb, B=B, E=E,
+                                             key_row=1, tail_pad=TAIL,
+                                             interpret=interpret)
+            starts_all, counts_all = bucket_ranges(tmeta)
+            starts, counts = starts_all[1:], counts_all[1:]
+            ares = (ameta.bases, ameta.saved_keys)
+        else:
+            tsorted, tmeta = radix_partition(dtab, tile_nb, B=B, E=E,
+                                             key_row=0, tail_pad=TAIL,
+                                             interpret=interpret)
+            starts, counts = bucket_ranges(tmeta)
+            ares = ((), ())
+
+        zb = jnp.zeros((1,), jnp.int32)
+        Cs, Ts = [], []
+        for i in range(n_passes):
+            (pack,) = calls[i][0](zb, starts, counts, tsorted)
+            final_t = pack[:, :, 3]
+            Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
+            Ts.append(final_t)
+        return (jnp.stack(Cs), jnp.stack(Ts), tsorted, starts, counts,
+                big_list, pmeta, ares, tmeta)
+
+    @jax.custom_vjp
+    def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+              depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        out = forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                      rect_max, tiles_touched, valid, bg)
+        return out[0], out[1]
+
+    def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+            depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        (C, T, tsorted, starts, counts, big_list, pmeta, ares, tmeta) = \
+            forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                    rect_max, tiles_touched, valid, bg)
+        res = (tsorted, starts, counts, big_list, pmeta.bases,
+               pmeta.saved_keys, ares, tmeta.bases, tmeta.saved_keys,
+               bg, C, T)
+        return (C, T), res
+
+    def bwd(res, cot):
+        (tsorted, starts, counts, big_list, pbases, pkeys, ares, tbases,
+         tkeys, bg, C_out, final_t) = res
+        pmeta = pres_meta(pbases, pkeys)
+        tmeta = tile_meta(tbases, tkeys)
+        gC, gT = cot
+
+        geo_rows = None
+        color_rows = []
+        dbg = jnp.zeros((3,), jnp.float32)
+        for i in range(n_passes):
+            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
+            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                        precision=_HIGH)
+            cot_pack = jnp.concatenate(
+                [gC[i], gt_eff[..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            fwd_pack = jnp.concatenate(
+                [out_nobg, final_t[i][..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), starts, counts,
+                                tsorted, cot_pack, fwd_pack)
+            g_geo = jnp.concatenate([eg[0:6], eg[9:11]], axis=0)
+            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+            color_rows.append(eg[6:9])
+            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
+                                   precision=_HIGH)
+
+        rows = [geo_rows[j] for j in range(8)]
+        for cr in color_rows:
+            rows += [cr[0], cr[1], cr[2]]
+        while len(rows) < grows:
+            rows.append(jnp.zeros((R_L,), jnp.float32))
+        gtab = jnp.stack(rows)
+        # zero everything outside the real tile segments: the dead bucket 0
+        # (invalid entries + rank-pass holes) and the sentinel tail are
+        # never written by the blend backward, and the inverse's exact
+        # one-hot matmuls must not see NaN garbage there
+        real_end = starts[T_tiles - 1] + counts[T_tiles - 1]
+        pos = jnp.arange(R_L, dtype=jnp.int32)
+        live = (pos < real_end)
+        if tiered:
+            live = live & (pos >= starts[0])
+        gtab = jnp.where(live[None, :], gtab, 0.0)
+
+        slotg = radix_unpartition(gtab, tmeta, interpret=interpret)
+        if tiered:
+            ameta = rank_meta(ares[0], ares[1])
+            slotg = radix_unpartition(slotg, ameta, interpret=interpret)
+
+        def rank_sum(j):
+            row = slotg[j]
+            out = row[:slots1].reshape(n1, d1).sum(axis=1)
+            if tiered:
+                big = row[slots1:slots1 + slots2].reshape(
+                    m_cap, d2_extra).sum(axis=1)
+                out = out.at[big_list].add(
+                    jnp.where(big_list < n1, big, 0.0), mode="drop")
+            return out
+
+        rrows = [rank_sum(j) for j in range(grows_used)]
+        while len(rrows) < grows:
+            rrows.append(jnp.zeros((n1,), jnp.float32))
+        rtab = jnp.stack(rrows)
+        orig = radix_unpartition(rtab, pmeta, interpret=interpret)[:, :n]
+
+        dmean2d = jnp.stack([orig[0], orig[1]], axis=1)
+        dconic = jnp.stack([orig[2], orig[3], orig[4]], axis=1)
+        dop = orig[5]
+        dabs = jnp.stack([orig[6], orig[7]], axis=1)
+        dcolors = jnp.stack(
+            [jnp.stack([orig[8 + 3 * i + c] for c in range(3)], axis=1)
+             for i in range(n_passes)])
+        d_depth = jnp.zeros((n,), jnp.float32)
+        zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
+        return (dmean2d, dconic, dop, dcolors, dabs, dbg,
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
+
+    blend.defvjp(fwd, bwd)
+    return blend
+
+
 def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            pre_depth, pre_rect_min, pre_rect_max,
                            pre_tiles_touched, pre_valid, bg, *,
                            grid: TileGrid, chunk: int = 256,
                            max_tiles_per_gaussian: int = 16,
-                           d_small: int = 6, big_fraction: float = 0.125):
+                           d_small: int = 6, big_fraction: float = 0.125,
+                           binning: str = "partition"):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
+    binning: "partition" (radix partition engine, production) or "sort"
+    (single wide lax.sort, the v2 design kept for A/B comparison).
     """
     n = mean2d.shape[0]
-    blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
-                                   len(colors_list), d_small, big_fraction)
+    maker = (_make_partition_blend_vjp if binning == "partition"
+             else _make_pallas_blend_vjp)
+    blend = maker(grid, chunk, n, max_tiles_per_gaussian,
+                  len(colors_list), d_small, big_fraction)
     stack = jnp.stack(colors_list)
     C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
                      pre_depth, pre_rect_min, pre_rect_max,
@@ -604,11 +945,12 @@ def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_depth, pre_rect_min, pre_rect_max, pre_tiles_touched,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
                      max_tiles_per_gaussian: int = 16,
-                     d_small: int = 6, big_fraction: float = 0.125):
+                     d_small: int = 6, big_fraction: float = 0.125,
+                     binning: str = "partition"):
     """Single-pass wrapper around rasterize_pallas_multi."""
     (out,) = rasterize_pallas_multi(
         mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
         pre_rect_min, pre_rect_max, pre_tiles_touched, pre_valid, bg,
         grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian,
-        d_small=d_small, big_fraction=big_fraction)
+        d_small=d_small, big_fraction=big_fraction, binning=binning)
     return out
