@@ -1,0 +1,69 @@
+"""Multi-host skeleton: deterministic camera picks, band math, and a
+collectives audit of the sharded program (single-process, 8-dev CPU mesh)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wildgaussians_tpu.parallel import multihost as mh
+
+
+def test_init_single_process_noop():
+    assert mh.init_multihost() is False
+    assert jax.process_count() == 1
+
+
+def test_step_camera_id_is_epoch_permutation():
+    n = 7
+    for epoch in range(3):
+        ids = [mh.step_camera_id(epoch * n + i, n) for i in range(n)]
+        assert sorted(ids) == list(range(n))
+    # deterministic across "hosts" (same inputs -> same pick)
+    assert mh.step_camera_id(13, n) == mh.step_camera_id(13, n)
+
+
+def test_host_tile_rows_single_process():
+    r0, r1 = mh.host_tile_rows(96)
+    assert (r0, r1) == (0, 96)
+
+
+def test_sharded_program_collectives(rng):
+    """The sharded pallas-partition program must all-reduce only Gaussian
+    gradients: exactly the per-rank grad psum, and no all-gather of the
+    (replicated) entry table."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from helpers import make_camera, make_scene
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess
+    from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+    from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+    from wildgaussians_tpu.parallel.mesh import make_tile_mesh
+
+    scene = make_scene(rng, n=200)
+    cam = make_camera(width=64, height=64)
+    params, w, h = wc.make_camera_params(cam)
+    cov3d = compute_cov3d(jnp.asarray(scene["scales"]),
+                          jnp.asarray(scene["rotations"]))
+    pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                     jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+    grid = make_grid(w, h, 16)
+    colors = jnp.asarray(scene["colors"])
+    n = colors.shape[0]
+    geo = (pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched, pre.valid)
+    bg = jnp.zeros((3,), jnp.float32)
+    target = jnp.zeros((h, w, 3), jnp.float32)
+    mesh = make_tile_mesh(jax.devices()[:8])
+
+    def loss(m2d, con, op, col):
+        ((img, _t),) = rasterize_pallas_multi(
+            m2d, con, op, [col], jnp.zeros((n, 2)), *geo, bg, grid=grid,
+            max_tiles_per_gaussian=6, d_small=6, mesh=mesh)
+        return jnp.mean((img - target) ** 2)
+
+    lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
+        pre.mean2d, pre.conic, pre.opacity, colors)
+    hlo = lowered.compile().as_text()
+    n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+    assert n_allreduce >= 1, "gradient psum missing from the sharded program"
+    assert n_allreduce <= 4, f"unexpected extra collectives: {n_allreduce}"
+    assert "all-gather" not in hlo, "replicated table should not be gathered"

@@ -69,6 +69,53 @@ def test_sharded_grads_match_single(rng):
                                    atol=1e-6, rtol=1e-4)
 
 
+def test_sharded_pallas_partition_matches_single(rng):
+    """The pallas partition path under an 8-device tile mesh must be
+    bit-exact with the single-device pallas render + gradients (shard_map
+    over tile bands; psum'd Gaussian grads)."""
+    from helpers import make_camera, make_scene
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess
+    from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+    from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+    from wildgaussians_tpu.parallel.mesh import make_tile_mesh
+
+    scene = make_scene(rng, n=200)
+    scene["scales"][:8] *= 20.0   # exercise the tiered (rank-merge) path too
+    cam = make_camera(width=64, height=64)
+    params, w, h = wc.make_camera_params(cam)
+    cov3d = compute_cov3d(jnp.asarray(scene["scales"]),
+                          jnp.asarray(scene["rotations"]))
+    pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                     jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+    grid = make_grid(w, h, 16)
+    colors = jnp.asarray(scene["colors"])
+    n = colors.shape[0]
+    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    geo = (pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched, pre.valid)
+    bg = jnp.zeros((3,), jnp.float32)
+
+    def loss(mesh, m2d, con, op, col):
+        ((img, _t),) = rasterize_pallas_multi(
+            m2d, con, op, [col], jnp.zeros((n, 2)), *geo, bg, grid=grid,
+            max_tiles_per_gaussian=16, mesh=mesh)
+        return jnp.mean((img - target) ** 2)
+
+    args = (pre.mean2d, pre.conic, pre.opacity, colors)
+    base_l, base_g = jax.value_and_grad(
+        lambda *a: loss(None, *a), argnums=(0, 1, 2, 3))(*args)
+    mesh = make_tile_mesh(jax.devices()[:8])
+    sh_l, sh_g = jax.jit(jax.value_and_grad(
+        lambda *a: loss(mesh, *a), argnums=(0, 1, 2, 3)))(*args)
+    assert float(base_l) == pytest.approx(float(sh_l), abs=1e-7)
+    for gb, gs in zip(base_g, sh_g):
+        # forward images are bit-exact; gradients differ only by the psum's
+        # reduction order (each Gaussian's entries split across shards)
+        gb, gs = np.asarray(gb), np.asarray(gs)
+        np.testing.assert_allclose(gs, gb, rtol=1e-5,
+                                   atol=1e-6 * (np.abs(gb).max() + 1e-12))
+
+
 def test_native_knn_matches_jax(rng):
     from wildgaussians_tpu.ops import knn_native
     from wildgaussians_tpu.ops.knn import mean_knn_dist2

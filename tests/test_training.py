@@ -171,3 +171,19 @@ def test_knn_dist2_reasonable(rng):
     assert (rel < 1e-5).mean() > 0.75
     assert rel.mean() < 0.1
     assert (got >= want * (1 - 1e-5) - 1e-7).all()  # can only overestimate (mod fp)
+
+
+def test_overflow_auto_bump(rng):
+    """Persistent rect truncation grows max_tiles_per_gaussian (staged
+    recompile), mirroring capacity growth."""
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    dataset, _scene = _make_synthetic_dataset(rng, n_cams=2, width=64,
+                                              height=48, n_points=60)
+    overrides = dict(OVERRIDES)
+    overrides.update(iterations=30, rasterizer_backend="tiled",
+                     max_tiles_per_gaussian=1, densify_from_iter=1000)
+    m = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    before = m.config.max_tiles_per_gaussian
+    for s in range(12):
+        m.train_iteration(s)
+    assert m.config.max_tiles_per_gaussian > before

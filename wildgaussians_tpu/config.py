@@ -83,6 +83,11 @@ class Config:
     uncertainty_backbone: str = "dinov2_vits14_reg"
     uncertainty_regularizer_weight: float = 0.5
     uncertainty_clip_min: float = 0.1
+    # TPU adaptation: letterbox the DINO working canvas (aspect-preserving,
+    # like the reference's <=350px resize, method.py:190-201) instead of
+    # squashing to a square; fixed-shape either way. Square inputs are
+    # unaffected.
+    uncertainty_dino_letterbox: bool = True
     uncertainty_mask_clip_max: Optional[float] = None
     uncertainty_dssim_clip_max: float = 1.0
     uncertainty_lr: float = 0.001

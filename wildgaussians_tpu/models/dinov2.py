@@ -135,6 +135,33 @@ def _convert_torch_state(state: dict, arch: dict) -> Dict[str, np.ndarray]:
     return p
 
 
+def _torch_bicubic_matrix(m: int, out: int, offset: float) -> np.ndarray:
+    """[out, m] interpolation matrix matching torch F.interpolate bicubic
+    (align_corners=False, antialias=False, A=-0.75) driven by an explicit
+    scale_factor (out + offset) / m, as the reference's pos-embed resize
+    passes (dinov2.py:685-698)."""
+    A = -0.75
+
+    def k(x):
+        x = abs(x)
+        if x <= 1.0:
+            return ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+        if x < 2.0:
+            return (((x - 5.0) * x + 8.0) * x - 4.0) * A
+        return 0.0
+
+    scale = float(out + offset) / m
+    W = np.zeros((out, m), np.float64)
+    for j in range(out):
+        x = (j + 0.5) / scale - 0.5
+        x0 = math.floor(x)
+        t = x - x0
+        for tap, dx in enumerate(range(-1, 3)):
+            src = min(max(x0 + dx, 0), m - 1)
+            W[j, src] += k(dx - t)
+    return W.astype(np.float32)
+
+
 class DinoV2:
     """Frozen DINOv2 feature extractor with a fixed input size."""
 
@@ -161,11 +188,20 @@ class DinoV2:
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
 
     def _interp_pos_embed(self, grid_h: int, grid_w: int) -> jnp.ndarray:
-        """Bicubic pos-embed interpolation (reference dinov2.py:672-702)."""
+        """Torch-exact bicubic pos-embed interpolation (reference
+        dinov2.py:670-706): F.interpolate(mode="bicubic", antialias=False,
+        align_corners=False) semantics — cubic kernel A=-0.75, border
+        clamping — including the historical +0.1 scale-factor kludge
+        (interpolate_offset, dinov2.py:685-690) and the same-grid shortcut
+        (dinov2.py:674-675)."""
         pe = self.params["pos_embed_patch"]
         m = int(math.sqrt(pe.shape[0]))
+        if (grid_h, grid_w) == (m, m):
+            return pe
         pe = pe.reshape(m, m, -1)
-        out = jax.image.resize(pe, (grid_h, grid_w, pe.shape[-1]), method="bicubic")
+        wy = jnp.asarray(_torch_bicubic_matrix(m, grid_h, 0.1))
+        wx = jnp.asarray(_torch_bicubic_matrix(m, grid_w, 0.1))
+        out = jnp.einsum("hm,mnd,wn->hwd", wy, pe, wx, precision=_HIGH)
         return out.reshape(grid_h * grid_w, -1)
 
     def features(self, image: jnp.ndarray, layer: Optional[int] = None) -> jnp.ndarray:

@@ -119,6 +119,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
 
     if backend == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas_multi
+        from ..parallel.mesh import current_mesh
         outs = rasterize_pallas_multi(
             pre.mean2d, pre.conic, pre.opacity,
             [c for _tag, c in passes], absgrad_hook,
@@ -127,7 +128,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             d_small=getattr(config, "pallas_d_small", 6),
             big_fraction=getattr(config, "pallas_big_fraction", 0.125),
-            binning=getattr(config, "pallas_binning", "partition"))
+            binning=getattr(config, "pallas_binning", "partition"),
+            mesh=current_mesh())
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(

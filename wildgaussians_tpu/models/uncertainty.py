@@ -34,25 +34,54 @@ IMG_NORM_STD = np.array([58.395, 57.12, 57.375], np.float32) / 255.0
 SOFTPLUS_PRIOR = math.log(math.exp(1.0) - 1.0)
 
 
+def _letterbox_scale(out_h: int, out_w: int, valid_h, valid_w,
+                     letterbox: bool):
+    """Per-axis scale factors valid-region -> canvas. letterbox=True keeps
+    aspect (reference resizes aspect-preserving to <=350px,
+    method.py:190-201); False squashes to fill the square canvas."""
+    if letterbox:
+        s = jnp.minimum(out_h / valid_h, out_w / valid_w)
+        return jnp.stack([s, s]).astype(jnp.float32)
+    return jnp.stack([out_h / valid_h, out_w / valid_w]).astype(jnp.float32)
+
+
 def resize_valid(img: jnp.ndarray, out_h: int, out_w: int,
-                 valid_h, valid_w) -> jnp.ndarray:
-    """Resize the [0:valid_h, 0:valid_w] region of `img` to (out_h, out_w)
-    with traced valid sizes (antialiased linear)."""
+                 valid_h, valid_w, letterbox: bool = False) -> jnp.ndarray:
+    """Resize the [0:valid_h, 0:valid_w] region of `img` into the
+    (out_h, out_w) canvas with traced valid sizes (antialiased linear).
+    With letterbox=True the aspect ratio is preserved and the content
+    occupies [0, valid_h*s) x [0, valid_w*s) (see content_mask)."""
     ch = img.shape[-1:] if img.ndim == 3 else ()
     x = img if img.ndim == 3 else img[..., None]
-    scale = jnp.stack([out_h / valid_h, out_w / valid_w]).astype(jnp.float32)
+    scale = _letterbox_scale(out_h, out_w, valid_h, valid_w, letterbox)
     out = jax.image.scale_and_translate(
         x, (out_h, out_w, x.shape[-1]), (0, 1), scale,
         jnp.zeros((2,), jnp.float32), method="linear", antialias=True)
     return out if ch else out[..., 0]
 
 
+def content_mask(out_h: int, out_w: int, valid_h, valid_w,
+                 letterbox: bool, granularity: int = 1) -> jnp.ndarray:
+    """[out_h/g, out_w/g] 0/1 mask of the letterboxed content region
+    (all ones when squashing). granularity=patch_size gives the DINO
+    patch-level validity mask."""
+    g = granularity
+    scale = _letterbox_scale(out_h, out_w, valid_h, valid_w, letterbox)
+    ch = valid_h * scale[0]
+    cw = valid_w * scale[1]
+    yy = (jnp.arange(out_h // g, dtype=jnp.float32) + 0.5) * g
+    xx = (jnp.arange(out_w // g, dtype=jnp.float32) + 0.5) * g
+    return ((yy[:, None] <= ch) & (xx[None, :] <= cw)).astype(jnp.float32)
+
+
 def resize_to_valid(img: jnp.ndarray, out_h: int, out_w: int,
-                    valid_h, valid_w) -> jnp.ndarray:
-    """Inverse of resize_valid: place `img` into the [0:valid_h, 0:valid_w]
-    region of an (out_h, out_w) canvas (bilinear)."""
+                    valid_h, valid_w, letterbox: bool = False) -> jnp.ndarray:
+    """Inverse of resize_valid: map the canvas content back onto the
+    [0:valid_h, 0:valid_w] region of an (out_h, out_w) canvas (bilinear)."""
     x = img if img.ndim == 3 else img[..., None]
-    scale = jnp.stack([valid_h / x.shape[0], valid_w / x.shape[1]]).astype(jnp.float32)
+    fwd = _letterbox_scale(x.shape[0], x.shape[1], valid_h, valid_w,
+                           letterbox)
+    scale = 1.0 / fwd
     out = jax.image.scale_and_translate(
         x, (out_h, out_w, x.shape[-1]), (0, 1), scale,
         jnp.zeros((2,), jnp.float32), method="linear", antialias=False)
@@ -74,14 +103,60 @@ class UncertaintyModel:
 
     def init_params(self, rng: np.random.Generator) -> Dict[str, jnp.ndarray]:
         """Head params (reference method.py:215-218): conv ~N(0,0.01), zero
-        bias, affine BN."""
+        bias, affine BN. When WG_ADE20K_HEAD points at a local copy of the
+        DINOv2 ADE20k linear-head checkpoint, the head is seeded from it
+        (see initialize_head_from_ade20k)."""
         d = self.dino.embed_dim
-        return {
+        params = {
             "conv_w": jnp.asarray(rng.normal(0, 0.01, (d, 1)).astype(np.float32)),
             "conv_b": jnp.zeros((1,), jnp.float32),
             "bn_scale": jnp.ones((d,), jnp.float32),
             "bn_bias": jnp.zeros((d,), jnp.float32),
         }
+        import os
+        path = os.environ.get("WG_ADE20K_HEAD")
+        if path and os.path.exists(path):
+            params = self.initialize_head_from_ade20k(params, path)
+        return params
+
+    def initialize_head_from_ade20k(self, params, path: str):
+        """Seed the 1x1 head + BN stats from the DINOv2 ADE20k linear
+        segmentation checkpoint.
+
+        The reference defines this step (_initialize_head_from_checkpoint,
+        method.py:238-255: sky/person/water/plant class weights x1000 over
+        an N(0,1e-4) base, plus the head's BN statistics) but never calls
+        it, and its tensor assignment would fail as written (it indexes the
+        CHANNEL axis with class ids and broadcasts a [150,4,1,1] slice into
+        [1,4,1,1]). We implement the evident intent — the new single-output
+        head responds like the sum of the ignored-class rows — behind the
+        WG_ADE20K_HEAD env var (this environment has no egress to fetch the
+        checkpoint at the reference's URL).
+        """
+        import torch
+        cls_to_ignore = [13, 21, 81, 84]   # sky, water, plant, person-ish
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        state = ckpt.get("state_dict", ckpt)
+        old_w = np.asarray(state["decode_head.conv_seg.weight"].float())
+        d = self.dino.embed_dim
+        base = np.random.default_rng(0).normal(0, 1e-4, (d,)).astype(np.float32)
+        boost = old_w[cls_to_ignore, :d, 0, 0].sum(axis=0) * 1000.0
+        params = dict(params)
+        params["conv_w"] = jnp.asarray((base + boost)[:, None])
+        params["conv_b"] = jnp.zeros((1,), jnp.float32)
+        bn_w = state.get("decode_head.bn.weight")
+        if bn_w is not None:
+            params["bn_scale"] = jnp.asarray(np.asarray(bn_w.float()))
+            params["bn_bias"] = jnp.asarray(
+                np.asarray(state["decode_head.bn.bias"].float()))
+            self.bn_state = {
+                "mean": jnp.asarray(np.asarray(
+                    state["decode_head.bn.running_mean"].float())),
+                "var": jnp.asarray(np.asarray(
+                    state["decode_head.bn.running_var"].float())),
+            }
+        logger.info("Uncertainty head seeded from ADE20k checkpoint %s", path)
+        return params
 
     def setup_data(self, train_images):
         del train_images  # features cached lazily per step
@@ -101,9 +176,10 @@ class UncertaintyModel:
         return jnp.asarray(feats)
 
     def head_uncertainty(self, uparams, bn_state, feats, *, train, key,
-                         momentum=0.1):
+                         momentum=0.1, patch_mask=None):
         """BN -> dropout2d -> 1x1 conv -> +prior -> softplus -> upsample ->
-        clip (reference method.py:300-323). feats [h,w,D]."""
+        clip (reference method.py:300-323). feats [h,w,D]. `patch_mask`
+        restricts the batch statistics to letterbox-valid patches."""
         cfg = self.config
         x = feats
         # reference order: dropout2d THEN bn (method.py:309-311)
@@ -111,9 +187,13 @@ class UncertaintyModel:
             keep = jax.random.bernoulli(
                 key, 1 - cfg.uncertainty_dropout, (1, 1, x.shape[-1]))
             x = x * keep / (1 - cfg.uncertainty_dropout)
+        if patch_mask is None:
+            patch_mask = jnp.ones(x.shape[:2], jnp.float32)
+        pm = patch_mask[..., None]
+        psum = jnp.maximum(jnp.sum(pm), 1.0)
         if train:
-            mu = x.mean(axis=(0, 1))
-            var = x.var(axis=(0, 1))
+            mu = jnp.sum(x * pm, axis=(0, 1)) / psum
+            var = jnp.sum(jnp.square(x - mu) * pm, axis=(0, 1)) / psum
             new_bn = {
                 "mean": (1 - momentum) * bn_state["mean"]
                 + momentum * jax.lax.stop_gradient(mu),
@@ -144,16 +224,18 @@ class UncertaintyModel:
     # ------------------------------------------------------------------ losses
 
     def compute_loss(self, uparams, bn_state, feats_gt, gt336, pred336,
-                     mask336, key, *, train: bool):
+                     mask336, key, *, train: bool, patch_mask=None):
         """Returns (loss, metrics, loss_mult336, new_bn_state).
 
         Mirrors _compute_losses (method.py:363-433); all spatial means are
-        masked by `mask336` (the valid-region mask).
+        masked by `mask336` (the letterbox/valid-region mask) and the BN
+        statistics by `patch_mask` (its patch-level counterpart).
         """
         cfg = self.config
         mode = cfg.uncertainty_mode
         u, new_bn = self.head_uncertainty(uparams, bn_state, feats_gt,
-                                          train=train, key=key)
+                                          train=train, key=key,
+                                          patch_mask=patch_mask)
         log_u = jnp.log(u)
         msk = mask336
         msum = jnp.maximum(jnp.sum(msk), 1.0)
@@ -202,11 +284,16 @@ class UncertaintyModel:
     def loss_mult_for_image(self, uparams, gt_padded, pixmask, valid_h, valid_w):
         """loss_mult of a GT image against itself at full padded resolution
         (used by optimize_embedding's '-scaled' mode, method.py:1781-1785)."""
-        gt336 = resize_valid(gt_padded, DINO_SIZE, DINO_SIZE, valid_h, valid_w)
+        lb = self.config.uncertainty_dino_letterbox
+        gt336 = resize_valid(gt_padded, DINO_SIZE, DINO_SIZE, valid_h,
+                             valid_w, letterbox=lb)
         feats = self._dino_features(gt336)
         _loss, _metrics, lm336, _bn = self.compute_loss(
             uparams, self.bn_state, feats, gt336, gt336,
-            jnp.ones((DINO_SIZE, DINO_SIZE), jnp.float32),
-            jax.random.PRNGKey(0), train=False)
+            content_mask(DINO_SIZE, DINO_SIZE, valid_h, valid_w, lb),
+            jax.random.PRNGKey(0), train=False,
+            patch_mask=content_mask(DINO_SIZE, DINO_SIZE, valid_h, valid_w,
+                                    lb, granularity=self.dino.patch_size))
         h, w = gt_padded.shape[:2]
-        return resize_to_valid(lm336, h, w, valid_h, valid_w) * pixmask
+        return resize_to_valid(lm336, h, w, valid_h, valid_w,
+                               letterbox=lb) * pixmask

@@ -87,6 +87,7 @@ class WildGaussians:
         self.cameras_extent: Optional[float] = None
         self._sky_distance = None
         self._uncertainty = None
+        self._overflow_streak = 0
 
         # unsupported-combo guards (reference method.py:976-978)
         assert getattr(self.config, "appearance_model_2D", "disabled") == "disabled", \
@@ -213,14 +214,18 @@ class WildGaussians:
             loss_mult = jnp.ones_like(pixmask)
             if use_unc:
                 from .uncertainty import resize_valid, resize_to_valid, DINO_SIZE
-                feats_gt, gt336, mask336, bn_state, ukey, protect = unc_inputs
+                (feats_gt, gt336, mask336, pmask24, bn_state, ukey,
+                 protect) = unc_inputs
+                lb = config.uncertainty_dino_letterbox
                 aw, ah = actual_size
                 pred336 = resize_valid(jax.lax.stop_gradient(image_toned),
-                                       DINO_SIZE, DINO_SIZE, ah, aw)
+                                       DINO_SIZE, DINO_SIZE, ah, aw,
+                                       letterbox=lb)
                 uloss, umetrics, lm336, new_bn = uncertainty.compute_loss(
                     params["uncertainty"], bn_state, feats_gt, gt336, pred336,
-                    mask336, ukey, train=True)
-                lm = resize_to_valid(lm336, pad_h, pad_w, ah, aw) * pixmask
+                    mask336, ukey, train=True, patch_mask=pmask24)
+                lm = resize_to_valid(lm336, pad_h, pad_w, ah, aw,
+                                     letterbox=lb) * pixmask
                 # threshold + warmup (reference method.py:1934-1946)
                 lm = (lm > 1.0).astype(jnp.float32)
                 ws = config.uncertainty_warmup_start
@@ -383,7 +388,7 @@ class WildGaussians:
         if self._uncertainty is not None:
             from .uncertainty import resize_valid, DINO_SIZE
             aw, ah = [int(x) for x in self.train_cameras.image_sizes[camera_id]]
-            gt336, mask336 = self._gt336_cached(camera_id, gt, aw, ah)
+            gt336, mask336, pmask24 = self._gt336_cached(camera_id, gt, aw, ah)
             feats_gt = self._uncertainty.gt_features(camera_id, gt336)
             self._key, ukey = jax.random.split(self._key)
             # protected iters after opacity reset (reference method.py:1951-1954)
@@ -391,7 +396,7 @@ class WildGaussians:
             last_reset = (last_densify // self.config.opacity_reset_interval
                           ) * self.config.opacity_reset_interval
             protect = iteration < last_reset + self.config.uncertainty_protected_iters
-            unc_inputs = (feats_gt, gt336, mask336,
+            unc_inputs = (feats_gt, gt336, mask336, pmask24,
                           self._uncertainty.bn_state, ukey, jnp.bool_(protect))
 
         densify_enabled = iteration < self.config.densify_until_iter
@@ -422,25 +427,58 @@ class WildGaussians:
 
         out = {k: float(v) for k, v in metrics.items()}
         out["num_gaussians"] = int(jnp.sum(self.aux.alive))
+        self._maybe_grow_tile_budget(out.get("overflow", 0.0))
         self.step = step + 1
         return out
+
+    def _maybe_grow_tile_budget(self, overflow: float):
+        """Auto-bump the per-Gaussian tile budget on persistent truncation.
+
+        Mirrors _maybe_grow_capacity for the rasterizer's fixed duplication
+        budget: truncated tile rects silently drop contributions at render
+        time (ops/binning.py docstring), so a sustained nonzero overflow
+        count triggers a staged recompile with a larger
+        max_tiles_per_gaussian (and a deeper big-Gaussian pool).
+        """
+        self._overflow_streak = self._overflow_streak + 1 if overflow > 0 else 0
+        if self._overflow_streak < 10:
+            return
+        old = self.config.max_tiles_per_gaussian
+        self.config.max_tiles_per_gaussian = int(old * 3 // 2) + 1
+        self.config.pallas_big_fraction = min(
+            self.config.pallas_big_fraction * 1.5, 1.0)
+        logger.info(
+            "Persistent rasterizer overflow (%d steps): growing "
+            "max_tiles_per_gaussian %d -> %d, big_fraction -> %.3f "
+            "(staged recompile)", self._overflow_streak, old,
+            self.config.max_tiles_per_gaussian, self.config.pallas_big_fraction)
+        self._overflow_streak = 0
+        self.__dict__.pop("_train_step_fn", None)
+        self._render_fn.cache_clear()
 
     @functools.lru_cache(maxsize=None)
     def _gt336_shapes(self):
         return {}
 
     def _gt336_cached(self, camera_id, gt, aw, ah):
-        """Fixed-size (DINO_SIZE) resize of the valid GT region + mask,
-        cached per camera."""
-        from .uncertainty import resize_valid, DINO_SIZE
+        """Fixed-size (DINO_SIZE) letterbox of the valid GT region + pixel-
+        and patch-level content masks, cached per camera."""
+        from .uncertainty import resize_valid, content_mask, DINO_SIZE
         cache = self._gt336_shapes()
         if camera_id not in cache:
+            lb = self.config.uncertainty_dino_letterbox
             gt336 = resize_valid(gt, DINO_SIZE, DINO_SIZE,
-                                 jnp.float32(ah), jnp.float32(aw))
-            mask336 = jnp.ones((DINO_SIZE, DINO_SIZE), jnp.float32)
-            cache[camera_id] = (jax.device_get(gt336), np.asarray(mask336))
-        g, m = cache[camera_id]
-        return jnp.asarray(g), jnp.asarray(m)
+                                 jnp.float32(ah), jnp.float32(aw),
+                                 letterbox=lb)
+            mask336 = content_mask(DINO_SIZE, DINO_SIZE, jnp.float32(ah),
+                                   jnp.float32(aw), lb)
+            pmask = content_mask(DINO_SIZE, DINO_SIZE, jnp.float32(ah),
+                                 jnp.float32(aw), lb,
+                                 granularity=self._uncertainty.dino.patch_size)
+            cache[camera_id] = tuple(
+                jax.device_get(x) for x in (gt336, mask336, pmask))
+        g, m, pm = cache[camera_id]
+        return jnp.asarray(g), jnp.asarray(m), jnp.asarray(pm)
 
     def _maybe_grow_capacity(self, dstats):
         dropped = int(dstats["dropped_for_capacity"])

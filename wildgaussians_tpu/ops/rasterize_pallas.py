@@ -605,7 +605,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.lru_cache(maxsize=32)
 def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                               n_passes: int = 1, d_small: int = 6,
-                              big_fraction: float = 0.125):
+                              big_fraction: float = 0.125,
+                              mesh=None, mesh_axis: str = "tiles"):
     """Partition-centric pallas rasterizer (v3).
 
     Replaces the two wide lax.sort calls of the sort-centric design (~110 ms
@@ -664,8 +665,14 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     grows = _round_up(grows_used, 8)
     rm = 7 + 3 * n_passes                   # first rect row in presort table
 
+    # tile-sharding over a device mesh: each device blends (and back-props)
+    # a contiguous tile range; binning stays replicated (per-device entry
+    # tables over a Gaussian shard + all-to-all exchange is the next step)
+    D = int(mesh.shape[mesh_axis]) if mesh is not None else 1
+    T_shpad = _round_up(T_tiles, D)
+    T_local = T_shpad // D
     calls = [_make_pallas_calls(grid, K, R_L, table_w, nkey + 6 + 3 * i,
-                                nkey)
+                                nkey, T_local if D > 1 else 0)
              for i in range(n_passes)]
     interpret = _interpret()
 
@@ -803,13 +810,38 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             starts, counts = bucket_ranges(tmeta)
             ares = ((), ())
 
-        zb = jnp.zeros((1,), jnp.int32)
         Cs, Ts = [], []
-        for i in range(n_passes):
-            (pack,) = calls[i][0](zb, starts, counts, tsorted)
-            final_t = pack[:, :, 3]
-            Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
-            Ts.append(final_t)
+        if D > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as SP
+            real_end = starts[T_tiles - 1] + counts[T_tiles - 1]
+            pad = T_shpad - T_tiles
+            starts_p = jnp.concatenate(
+                [starts, jnp.full((pad,), 1, jnp.int32) * real_end])
+            counts_p = jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)])
+            tbase = jnp.arange(D, dtype=jnp.int32) * T_local
+            for i in range(n_passes):
+                def sfwd(tb, st, ct, tab, i=i):
+                    (pack,) = calls[i][0](tb, st, ct, tab)
+                    return pack
+                pack = shard_map(
+                    sfwd, mesh=mesh,
+                    in_specs=(SP(mesh_axis), SP(mesh_axis), SP(mesh_axis),
+                              SP()),
+                    out_specs=SP(mesh_axis), check_vma=False)(
+                        tbase, starts_p, counts_p, tsorted)[:T_tiles]
+                final_t = pack[:, :, 3]
+                Cs.append(pack[:, :, 0:3]
+                          + final_t[..., None] * bg[None, None, :])
+                Ts.append(final_t)
+        else:
+            zb = jnp.zeros((1,), jnp.int32)
+            for i in range(n_passes):
+                (pack,) = calls[i][0](zb, starts, counts, tsorted)
+                final_t = pack[:, :, 3]
+                Cs.append(pack[:, :, 0:3]
+                          + final_t[..., None] * bg[None, None, :])
+                Ts.append(final_t)
         return (jnp.stack(Cs), jnp.stack(Ts), tsorted, starts, counts,
                 big_list, pmeta, ares, tmeta)
 
@@ -832,54 +864,25 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                bg, C, T)
         return (C, T), res
 
-    def bwd(res, cot):
-        (tsorted, starts, counts, big_list, pbases, pkeys, ares, tbases,
-         tkeys, bg, C_out, final_t) = res
-        pmeta = pres_meta(pbases, pkeys)
-        tmeta = tile_meta(tbases, tkeys)
-        gC, gT = cot
-
+    def _build_gtab(eg_list):
         geo_rows = None
         color_rows = []
-        dbg = jnp.zeros((3,), jnp.float32)
-        for i in range(n_passes):
-            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
-            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
-                                        precision=_HIGH)
-            cot_pack = jnp.concatenate(
-                [gC[i], gt_eff[..., None],
-                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            fwd_pack = jnp.concatenate(
-                [out_nobg, final_t[i][..., None],
-                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), starts, counts,
-                                tsorted, cot_pack, fwd_pack)
+        for eg in eg_list:
             g_geo = jnp.concatenate([eg[0:6], eg[9:11]], axis=0)
             geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
             color_rows.append(eg[6:9])
-            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
-                                   precision=_HIGH)
-
         rows = [geo_rows[j] for j in range(8)]
         for cr in color_rows:
             rows += [cr[0], cr[1], cr[2]]
         while len(rows) < grows:
             rows.append(jnp.zeros((R_L,), jnp.float32))
-        gtab = jnp.stack(rows)
-        # zero everything outside the real tile segments: the dead bucket 0
-        # (invalid entries + rank-pass holes) and the sentinel tail are
-        # never written by the blend backward, and the inverse's exact
-        # one-hot matmuls must not see NaN garbage there
-        real_end = starts[T_tiles - 1] + counts[T_tiles - 1]
-        pos = jnp.arange(R_L, dtype=jnp.int32)
-        live = (pos < real_end)
-        if tiered:
-            live = live & (pos >= starts[0])
-        gtab = jnp.where(live[None, :], gtab, 0.0)
+        return jnp.stack(rows)
 
+    def _reduce_rank(gtab, tmeta, ares_in, big_list):
+        """Partitioned-order grad table -> per-rank sums [grows, n1]."""
         slotg = radix_unpartition(gtab, tmeta, interpret=interpret)
         if tiered:
-            ameta = rank_meta(ares[0], ares[1])
+            ameta = rank_meta(ares_in[0], ares_in[1])
             slotg = radix_unpartition(slotg, ameta, interpret=interpret)
 
         def rank_sum(j):
@@ -895,7 +898,93 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         rrows = [rank_sum(j) for j in range(grows_used)]
         while len(rrows) < grows:
             rrows.append(jnp.zeros((n1,), jnp.float32))
-        rtab = jnp.stack(rrows)
+        return jnp.stack(rrows)
+
+    def bwd(res, cot):
+        (tsorted, starts, counts, big_list, pbases, pkeys, ares, tbases,
+         tkeys, bg, C_out, final_t) = res
+        pmeta = pres_meta(pbases, pkeys)
+        gC, gT = cot
+
+        cot_packs, fwd_packs = [], []
+        dbg = jnp.zeros((3,), jnp.float32)
+        for i in range(n_passes):
+            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
+            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                        precision=_HIGH)
+            cot_packs.append(jnp.concatenate(
+                [gC[i], gt_eff[..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1))
+            fwd_packs.append(jnp.concatenate(
+                [out_nobg, final_t[i][..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1))
+            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
+                                   precision=_HIGH)
+
+        real_end = starts[T_tiles - 1] + counts[T_tiles - 1]
+        if D > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as SP
+            pad = T_shpad - T_tiles
+            starts_p = jnp.concatenate(
+                [starts, jnp.full((pad,), 1, jnp.int32) * real_end])
+            counts_p = jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)])
+            tbase = jnp.arange(D, dtype=jnp.int32) * T_local
+            cps = jnp.stack([jnp.concatenate(
+                [c, jnp.zeros((pad, P_PIX, 8), jnp.float32)]) for c in
+                cot_packs])
+            fps = jnp.stack([jnp.concatenate(
+                [f, jnp.zeros((pad, P_PIX, 8), jnp.float32)]) for f in
+                fwd_packs])
+
+            def sbwd(tb, st, ct, tab, cp, fp, tmb, tmk, amb, amk, bl):
+                eg_list = []
+                for i in range(n_passes):
+                    (eg,) = calls[i][1](tb, st, ct, tab, cp[i], fp[i])
+                    eg_list.append(eg)
+                gtab = _build_gtab(eg_list)
+                # each shard keeps only its own tiles' entry gradients; the
+                # rest of its egrad buffer is garbage (incl. the head-merge
+                # block shared with the neighbouring shard's boundary tile)
+                lo = st[0]
+                hi = st[T_local - 1] + ct[T_local - 1]
+                pos = jnp.arange(R_L, dtype=jnp.int32)
+                live = (pos >= lo) & (pos < hi)
+                gtab = jnp.where(live[None, :], gtab, 0.0)
+                rtab = _reduce_rank(gtab, tile_meta(tmb, tmk), (amb, amk), bl)
+                return jax.lax.psum(rtab, mesh_axis)
+
+            spec_tree = lambda t: jax.tree_util.tree_map(lambda _: SP(), t)  # noqa: E731
+            amb, amk = ares if tiered else ((), ())
+            rtab = shard_map(
+                sbwd, mesh=mesh,
+                in_specs=(SP(mesh_axis), SP(mesh_axis), SP(mesh_axis), SP(),
+                          SP(None, mesh_axis), SP(None, mesh_axis),
+                          spec_tree(tbases), spec_tree(tkeys),
+                          spec_tree(amb), spec_tree(amk), SP()),
+                out_specs=SP(), check_vma=False)(
+                    tbase, starts_p, counts_p, tsorted, cps, fps,
+                    tbases, tkeys, amb, amk, big_list)
+        else:
+            zb = jnp.zeros((1,), jnp.int32)
+            eg_list = []
+            for i in range(n_passes):
+                (eg,) = calls[i][1](zb, starts, counts, tsorted,
+                                    cot_packs[i], fwd_packs[i])
+                eg_list.append(eg)
+            gtab = _build_gtab(eg_list)
+            # zero everything outside the real tile segments: the dead
+            # bucket 0 (invalid entries + rank-pass holes) and the sentinel
+            # tail are never written by the blend backward, and the
+            # inverse's exact matmuls must not see NaN garbage there
+            pos = jnp.arange(R_L, dtype=jnp.int32)
+            live = pos < real_end
+            if tiered:
+                live = live & (pos >= starts[0])
+            gtab = jnp.where(live[None, :], gtab, 0.0)
+            rtab = _reduce_rank(gtab, tile_meta(tbases, tkeys), ares,
+                                big_list)
+
         orig = radix_unpartition(rtab, pmeta, interpret=interpret)[:, :n]
 
         dmean2d = jnp.stack([orig[0], orig[1]], axis=1)
@@ -920,18 +1009,26 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            grid: TileGrid, chunk: int = 256,
                            max_tiles_per_gaussian: int = 16,
                            d_small: int = 6, big_fraction: float = 0.125,
-                           binning: str = "partition"):
+                           binning: str = "partition", mesh=None,
+                           mesh_axis: str = "tiles"):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
     binning: "partition" (radix partition engine, production) or "sort"
     (single wide lax.sort, the v2 design kept for A/B comparison).
+    With a `mesh`, the partition path shards blend + backward kernels over
+    contiguous tile ranges (one per device) and psums Gaussian gradients.
     """
     n = mean2d.shape[0]
-    maker = (_make_partition_blend_vjp if binning == "partition"
-             else _make_pallas_blend_vjp)
-    blend = maker(grid, chunk, n, max_tiles_per_gaussian,
-                  len(colors_list), d_small, big_fraction)
+    if binning == "partition":
+        blend = _make_partition_blend_vjp(
+            grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
+            d_small, big_fraction, mesh,
+            mesh_axis if mesh is not None else "tiles")
+    else:
+        blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
+                                       len(colors_list), d_small,
+                                       big_fraction)
     stack = jnp.stack(colors_list)
     C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
                      pre_depth, pre_rect_min, pre_rect_max,
