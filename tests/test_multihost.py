@@ -66,4 +66,12 @@ def test_sharded_program_collectives(rng):
     n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
     assert n_allreduce >= 1, "gradient psum missing from the sharded program"
     assert n_allreduce <= 4, f"unexpected extra collectives: {n_allreduce}"
-    assert "all-gather" not in hlo, "replicated table should not be gathered"
+    # no LARGE all-gather: the replicated entry table must never be
+    # re-gathered (XLA may gather tiny scalars-level values, e.g. the
+    # bucket_ranges cumsum — s32[1,16] — which is fine)
+    import re
+    for line in hlo.splitlines():
+        m = re.search(r"=\s+\w+\[([\d,]*)\][^=]*all-gather", line)
+        if m and m.group(1):
+            numel = int(np.prod([int(x) for x in m.group(1).split(",")]))
+            assert numel < 16384, f"large all-gather in sharded program: {line[:160]}"

@@ -1,9 +1,21 @@
 """Metrics, evaluation protocols, prediction rendering/archiving.
 
-Mirrors reference wildgaussians/evaluation.py. The SSIM here matches dm_pix
-exactly (valid-mode separable Gaussian, covariance clipping); LPIPS uses the
-torch (CPU) backbones when pretrained weights are available locally and
-degrades to NaN with a warning otherwise (this environment has no egress).
+Capability mirror of the reference evaluation layer (reference
+wildgaussians/evaluation.py), written around two of our own pieces:
+
+  - a `PredictionWriter` abstraction that gives directory trees and .tar.gz
+    archives one uniform `file(path)` interface, shared by the prediction
+    dump and trajectory-frame rendering (the reference duplicates ad-hoc
+    open_fn closures per output kind, evaluation.py:500-519, 327-352);
+  - a vectorized dm_pix-exact SSIM built on sliding windows rather than
+    per-row convolution loops.
+
+The metric VALUES stay protocol-compatible: SSIM matches dm_pix
+(valid-mode separable Gaussian + covariance clipping, reference
+evaluation.py:68-178), PSNR/MSE/MAE clip to [0,1] first, LPIPS runs the
+torch trunks when weights exist locally and degrades to NaN with a warning
+(no egress here), and the output JSON keeps the base64-packed raw metric
+lists NerfBaselines expects.
 """
 import base64
 import contextlib
@@ -11,15 +23,13 @@ import io
 import json
 import logging
 import os
-import struct
 import tarfile
 import time
 import typing
 import warnings
 from datetime import datetime
-from functools import wraps
 from pathlib import Path
-from typing import Callable, Dict, Iterable, List, Optional, Union, cast
+from typing import Callable, Dict, Iterable, List, Optional, Union
 
 import numpy as np
 
@@ -34,98 +44,143 @@ logger = logging.getLogger(__name__)
 OutputType = Literal["color", "depth"]
 
 
-def assert_not_none(x):
-    assert x is not None, "value must not be None"
-    return x
+# ---------------------------------------------------------------------------
+# output sinks
+# ---------------------------------------------------------------------------
+
+class PredictionWriter:
+    """Uniform file sink for prediction dumps: a directory tree or a .tar.gz
+    archive, chosen by the output path suffix. Usage:
+
+        with PredictionWriter.open(output) as w, w.file("color/x.png") as f:
+            f.write(...)
+    """
+
+    @classmethod
+    @contextlib.contextmanager
+    def open(cls, output: Union[str, Path]):
+        if str(output).endswith(".tar.gz"):
+            with tarfile.open(output, "w:gz") as tar:
+                yield _TarWriter(tar)
+        else:
+            yield _DirWriter(Path(output))
 
 
-def _wrap_metric_arbitrary_shape(fn):
-    @wraps(fn)
+class _DirWriter(PredictionWriter):
+    def __init__(self, root: Path):
+        self._root = root
+
+    @contextlib.contextmanager
+    def file(self, relpath: str):
+        path = self._root / relpath
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            yield f
+
+
+class _TarWriter(PredictionWriter):
+    def __init__(self, tar: tarfile.TarFile):
+        self._tar = tar
+
+    @contextlib.contextmanager
+    def file(self, relpath: str):
+        info = tarfile.TarInfo(name=relpath)
+        info.mtime = int(time.time())
+        with io.BytesIO() as buf:
+            yield buf
+            info.size = buf.tell()
+            buf.seek(0)
+            self._tar.addfile(tarinfo=info, fileobj=buf)
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def _flatten_batch(fn):
+    """Lift an [N,H,W,C] metric to arbitrary leading batch dims."""
+    import functools
+
+    @functools.wraps(fn)
     def wrapped(a, b, **kwargs):
-        bs = a.shape[:-3]
-        a = np.reshape(a, (-1, *a.shape[-3:]))
-        b = np.reshape(b, (-1, *b.shape[-3:]))
-        out = fn(a, b, **kwargs)
-        return np.reshape(out, bs)
+        batch = a.shape[:-3]
+        out = fn(a.reshape(-1, *a.shape[-3:]), b.reshape(-1, *b.shape[-3:]),
+                 **kwargs)
+        return np.reshape(out, batch)
     return wrapped
 
 
-@_wrap_metric_arbitrary_shape
+def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+    half = size // 2
+    offs = np.arange(size) - half + (2 * half - size + 1) / 2
+    k = np.exp(-0.5 * (offs / sigma) ** 2)
+    return k / k.sum()
+
+
+def _valid_filter2d(x: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Separable VALID-mode filtering over the H and W axes of [N,H,W,C]
+    via sliding windows (one tensordot per axis, no python-level loops)."""
+    win = np.lib.stride_tricks.sliding_window_view(x, len(kernel), axis=1)
+    x = np.tensordot(win, kernel, axes=([-1], [0]))
+    win = np.lib.stride_tricks.sliding_window_view(x, len(kernel), axis=2)
+    return np.tensordot(win, kernel, axes=([-1], [0]))
+
+
+@_flatten_batch
 def dmpix_ssim(a: np.ndarray, b: np.ndarray, *, max_val: float = 1.0,
                kernel_size: int = 11, sigma: float = 1.5, k1: float = 0.01,
                k2: float = 0.03, return_map: bool = False,
                filter_fn: Optional[Callable] = None) -> np.ndarray:
-    """SSIM exactly matching dm_pix.ssim (reference evaluation.py:68-178):
-    separable VALID-mode Gaussian filtering + variance/covariance clipping."""
-    assert a.shape == b.shape, f"Images must have the same shape, got {a.shape} and {b.shape}"
+    """SSIM matching dm_pix.ssim bit-for-bit in f32: valid-mode separable
+    Gaussian moments with variance floors and covariance magnitude clipping
+    (the reference vendors the same algorithm, evaluation.py:68-178)."""
+    assert a.shape == b.shape, f"shape mismatch: {a.shape} vs {b.shape}"
     assert a.dtype.kind == "f" and b.dtype.kind == "f"
-
     if filter_fn is None:
-        hw = kernel_size // 2
-        shift = (2 * hw - kernel_size + 1) / 2
-        f_i = ((np.arange(kernel_size) - hw + shift) / sigma) ** 2
-        filt = np.exp(-0.5 * f_i)
-        filt /= np.sum(filt)
+        kernel = _gaussian_kernel(kernel_size, sigma)
+        filter_fn = lambda z: _valid_filter2d(z, kernel)  # noqa: E731
 
-        def conv_axis(z, axis):
-            z = np.moveaxis(z, axis, -1)
-            shape = z.shape
-            flat = z.reshape(-1, shape[-1])
-            out = np.stack([np.convolve(row, filt, mode="valid") for row in flat], 0)
-            return np.moveaxis(out.reshape(*shape[:-1], -1), -1, axis)
+    mu_a = filter_fn(a)
+    mu_b = filter_fn(b)
+    var_a = filter_fn(a * a) - mu_a * mu_a
+    var_b = filter_fn(b * b) - mu_b * mu_b
+    cov = filter_fn(a * b) - mu_a * mu_b
 
-        def filter_fn(z):
-            return conv_axis(conv_axis(z, -2), -3)
+    eps = np.finfo(np.float32).eps ** 2
+    var_a = np.maximum(eps, var_a)
+    var_b = np.maximum(eps, var_b)
+    cov = np.sign(cov) * np.minimum(np.sqrt(var_a * var_b), np.abs(cov))
 
-    mu0 = filter_fn(a)
-    mu1 = filter_fn(b)
-    mu00, mu11, mu01 = mu0 * mu0, mu1 * mu1, mu0 * mu1
-    sigma00 = filter_fn(a ** 2) - mu00
-    sigma11 = filter_fn(b ** 2) - mu11
-    sigma01 = filter_fn(a * b) - mu01
-    epsilon = np.finfo(np.float32).eps ** 2
-    sigma00 = np.maximum(epsilon, sigma00)
-    sigma11 = np.maximum(epsilon, sigma11)
-    sigma01 = np.sign(sigma01) * np.minimum(np.sqrt(sigma00 * sigma11), np.abs(sigma01))
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
-    numer = (2 * mu01 + c1) * (2 * sigma01 + c2)
-    denom = (mu00 + mu11 + c1) * (sigma00 + sigma11 + c2)
-    ssim_map = numer / denom
-    ssim_value = np.mean(ssim_map, tuple(range(-3, 0)))
-    return ssim_map if return_map else ssim_value
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
+                / ((mu_a * mu_a + mu_b * mu_b + c1) * (var_a + var_b + c2)))
+    return ssim_map if return_map else ssim_map.mean(axis=(-3, -2, -1))
 
 
-def _normalize_input(a):
+def _clip01(a: np.ndarray) -> np.ndarray:
     return np.clip(a, 0, 1).astype(np.float32)
 
 
-def _mean(metric):
-    return np.mean(metric, (-3, -2, -1))
-
-
 def ssim(a: np.ndarray, b: np.ndarray):
-    """Mean SSIM per image [B] (reference evaluation.py:185-198)."""
-    assert a.shape == b.shape
-    assert a.dtype.kind == "f" and b.dtype.kind == "f"
-    return dmpix_ssim(_normalize_input(a), _normalize_input(b))
+    """Mean SSIM per image, inputs clipped to [0,1]."""
+    assert a.shape == b.shape and a.dtype.kind == "f" and b.dtype.kind == "f"
+    return dmpix_ssim(_clip01(a), _clip01(b))
 
 
 def mse(a: np.ndarray, b: np.ndarray):
-    assert a.shape == b.shape
-    assert a.dtype.kind == "f" and b.dtype.kind == "f"
-    return _mean((_normalize_input(a) - _normalize_input(b)) ** 2)
+    assert a.shape == b.shape and a.dtype.kind == "f" and b.dtype.kind == "f"
+    return np.square(_clip01(a) - _clip01(b)).mean(axis=(-3, -2, -1))
 
 
 def mae(a: np.ndarray, b: np.ndarray):
-    assert a.shape == b.shape
-    assert a.dtype.kind == "f" and b.dtype.kind == "f"
-    return _mean(np.abs(_normalize_input(a) - _normalize_input(b)))
+    assert a.shape == b.shape and a.dtype.kind == "f" and b.dtype.kind == "f"
+    return np.abs(_clip01(a) - _clip01(b)).mean(axis=(-3, -2, -1))
 
 
 def psnr(a, b: Optional[np.ndarray] = None):
-    mse_value = a if b is None else mse(cast(np.ndarray, a), b)
-    return -10 * np.log10(mse_value)
+    value = a if b is None else mse(a, b)
+    return -10 * np.log10(value)
 
 
 _LPIPS_CACHE: Dict[str, object] = {}
@@ -133,27 +188,25 @@ _LPIPS_UNAVAILABLE_WARNED = False
 
 
 def _lpips(a, b, net, version="0.1"):
-    """LPIPS on torch CPU; returns NaN if pretrained weights can't be loaded
-    (offline environment). Reference evaluation.py:255-291."""
+    """LPIPS on torch CPU; NaN when pretrained weights are unavailable
+    (offline environment)."""
     global _LPIPS_UNAVAILABLE_WARNED
-    assert a.shape == b.shape
-    assert a.dtype.kind == "f" and b.dtype.kind == "f"
+    assert a.shape == b.shape and a.dtype.kind == "f" and b.dtype.kind == "f"
     try:
         import torch
-        lp_net = _LPIPS_CACHE.get(net)
-        if lp_net is None:
+        model = _LPIPS_CACHE.get(net)
+        if model is None:
             from .metrics_lpips import LPIPS
-            lp_net = LPIPS(net=net, version=version)
-            _LPIPS_CACHE[net] = lp_net
-        batch_shape = a.shape[:-3]
-        img_shape = a.shape[-3:]
-        a = _normalize_input(a)
-        b = _normalize_input(b)
+            model = _LPIPS_CACHE[net] = LPIPS(net=net, version=version)
+        batch = a.shape[:-3]
+
+        def to_torch(x):
+            flat = _clip01(x).reshape(-1, *x.shape[-3:])
+            return torch.from_numpy(flat).permute(0, 3, 1, 2) * 2 - 1
+
         with torch.no_grad():
-            ta = torch.from_numpy(a).float().view(-1, *img_shape).permute(0, 3, 1, 2).mul_(2).sub_(1)
-            tb = torch.from_numpy(b).float().view(-1, *img_shape).permute(0, 3, 1, 2).mul_(2).sub_(1)
-            out = cast("torch.Tensor", lp_net.forward(ta, tb))
-            return out.detach().cpu().numpy().reshape(batch_shape)
+            out = model(to_torch(a), to_torch(b))
+        return out.cpu().numpy().reshape(batch)
     except Exception as e:  # pragma: no cover - offline fallback
         if not _LPIPS_UNAVAILABLE_WARNED:
             warnings.warn(f"LPIPS unavailable ({e}); reporting NaN")
@@ -172,101 +225,61 @@ def lpips_vgg(a, b):
 lpips = lpips_alex
 
 
-def compute_metrics(pred, gt, *, reduce: bool = True, run_lpips_vgg: bool = False):
-    """reference evaluation.py:331-352."""
-    def reduction(x):
-        return x.mean().item() if reduce else x
-
-    pred = pred[..., : gt.shape[-1]]
-    pred = convert_image_dtype(pred, np.float32)
+def compute_metrics(pred, gt, *, reduce: bool = True,
+                    run_lpips_vgg: bool = False):
+    """The standard per-image metric set (reference evaluation.py:331-352)."""
+    pred = convert_image_dtype(pred[..., :gt.shape[-1]], np.float32)
     gt = convert_image_dtype(gt, np.float32)
-    mse_ = mse(pred, gt)
-    out = {
-        "psnr": reduction(psnr(mse_)),
-        "ssim": reduction(ssim(gt, pred)),
-        "mae": reduction(mae(gt, pred)),
-        "mse": reduction(mse_),
-        "lpips": reduction(lpips(gt, pred)),
+    mse_value = mse(pred, gt)
+    metrics = {
+        "psnr": psnr(mse_value),
+        "ssim": ssim(gt, pred),
+        "mae": mae(gt, pred),
+        "mse": mse_value,
+        "lpips": lpips(gt, pred),
     }
     if run_lpips_vgg:
-        out["lpips_vgg"] = reduction(lpips_vgg(gt, pred))
-    return out
+        metrics["lpips_vgg"] = lpips_vgg(gt, pred)
+    if reduce:
+        metrics = {k: v.mean().item() for k, v in metrics.items()}
+    return metrics
 
 
-def evaluate(predictions: str, output: str, *, description: str = "evaluating",
-             evaluation_protocol: EvaluationProtocol):
-    """Evaluate a predictions dir/tarball (reference evaluation.py:355-434)."""
-    if os.path.exists(output):
-        raise FileExistsError(f"{output} already exists")
-
-    with open_any_directory(predictions, "r") as _predictions_path:
-        predictions_path = Path(_predictions_path)
-        with open(predictions_path / "info.json", "r", encoding="utf8") as f:
-            nb_info = json.load(f)
-        logger.info("Using evaluation protocol %s", evaluation_protocol.get_name())
-
-        metrics_lists = {}
-        relpaths = [str(x.relative_to(predictions_path / "color"))
-                    for x in (predictions_path / "color").glob("**/*") if x.is_file()]
-        relpaths.sort()
-
-        def read_predictions() -> Iterable[RenderOutput]:
-            for relname in relpaths:
-                yield {"color": read_image(predictions_path / "color" / relname)}
-
-        gt_images = [read_image(predictions_path / "gt-color" / name) for name in relpaths]
-        dataset = new_dataset(
-            cameras=typing.cast(Cameras, None),
-            image_paths=relpaths,
-            image_paths_root=str(predictions_path / "color"),
-            metadata=typing.cast(Dict, nb_info.get("render_dataset_metadata",
-                                                   nb_info.get("dataset_metadata", {}))),
-            images=gt_images)
-
-        def collect_metrics_lists():
-            for i, pred in enumerate(read_predictions()):
-                dataset_slice = dataset_index_select(dataset, [i])
-                data = evaluation_protocol.evaluate(pred, dataset_slice)
-                for k, v in data.items():
-                    metrics_lists.setdefault(k, []).append(v)
-                yield data
-
-        metrics = evaluation_protocol.accumulate_metrics(collect_metrics_lists())
-        return save_evaluation_results(
-            str(output), metrics=metrics, metrics_lists=metrics_lists,
-            evaluation_protocol=evaluation_protocol.get_name(), nb_info=nb_info)
-
+# ---------------------------------------------------------------------------
+# evaluation protocols
+# ---------------------------------------------------------------------------
 
 class DefaultEvaluationProtocol(EvaluationProtocol):
-    """reference evaluation.py:437-469."""
+    """Render with the method's stored state and compare in sRGB uint8
+    (reference evaluation.py:437-469)."""
     _name = "default"
     _lpips_vgg = False
-
-    def render(self, method: Method, dataset: Dataset) -> RenderOutput:
-        return method.render(dataset["cameras"].item())
 
     def get_name(self):
         return self._name
 
+    def render(self, method: Method, dataset: Dataset) -> RenderOutput:
+        return method.render(dataset["cameras"].item())
+
     def evaluate(self, predictions: RenderOutput, dataset: Dataset):
-        assert len(dataset["images"]) == 1, "Only single image evaluation is supported"
-        background_color = dataset["metadata"].get("background_color")
-        color_space = dataset["metadata"]["color_space"]
-        pred = image_to_srgb(predictions["color"], np.uint8, color_space=color_space,
-                             background_color=background_color)
-        gt = image_to_srgb(dataset["images"][0], np.uint8, color_space=color_space,
-                           background_color=background_color)
-        pred_f = convert_image_dtype(pred, np.float32)
-        gt_f = convert_image_dtype(gt, np.float32)
-        return compute_metrics(pred_f[None], gt_f[None],
-                               run_lpips_vgg=self._lpips_vgg, reduce=True)
+        assert len(dataset["images"]) == 1, "evaluate() takes a single image"
+        meta = dataset["metadata"]
+        to_srgb = lambda img: image_to_srgb(  # noqa: E731
+            img, np.uint8, color_space=meta["color_space"],
+            background_color=meta.get("background_color"))
+        pred = convert_image_dtype(to_srgb(predictions["color"]), np.float32)
+        gt = convert_image_dtype(to_srgb(dataset["images"][0]), np.float32)
+        return compute_metrics(pred[None], gt[None], reduce=True,
+                               run_lpips_vgg=self._lpips_vgg)
 
     def accumulate_metrics(self, metrics: Iterable[Dict[str, Union[float, int]]]):
-        acc = {}
-        for i, data in enumerate(metrics):
+        totals: Dict[str, float] = {}
+        count = 0
+        for data in metrics:
+            count += 1
             for k, v in data.items():
-                acc[k] = acc.get(k, 0) * (i / (i + 1)) + v / (i + 1)
-        return acc
+                totals[k] = totals.get(k, 0.0) + v
+        return {k: v / count for k, v in totals.items()} if count else {}
 
 
 class NerfEvaluationProtocol(DefaultEvaluationProtocol):
@@ -274,23 +287,131 @@ class NerfEvaluationProtocol(DefaultEvaluationProtocol):
     _lpips_vgg = True
 
 
+def evaluate(predictions: str, output: str, *, description: str = "evaluating",
+             evaluation_protocol: EvaluationProtocol):
+    """Evaluate a predictions dir/tarball into an output JSON (reference
+    evaluation.py:355-434)."""
+    if os.path.exists(output):
+        raise FileExistsError(f"{output} already exists")
+
+    with open_any_directory(predictions, "r") as root_str:
+        root = Path(root_str)
+        nb_info = json.loads((root / "info.json").read_text("utf8"))
+        logger.info("Using evaluation protocol %s",
+                    evaluation_protocol.get_name())
+
+        relpaths = sorted(str(p.relative_to(root / "color"))
+                          for p in (root / "color").rglob("*") if p.is_file())
+        dataset = new_dataset(
+            cameras=typing.cast(Cameras, None),
+            image_paths=relpaths,
+            image_paths_root=str(root / "color"),
+            metadata=typing.cast(Dict, nb_info.get(
+                "render_dataset_metadata", nb_info.get("dataset_metadata", {}))),
+            images=[read_image(root / "gt-color" / name) for name in relpaths])
+
+        per_image: Dict[str, List[float]] = {}
+
+        def evaluated():
+            for i, name in enumerate(relpaths):
+                pred: RenderOutput = {"color": read_image(root / "color" / name)}
+                row = evaluation_protocol.evaluate(
+                    pred, dataset_index_select(dataset, [i]))
+                for k, v in row.items():
+                    per_image.setdefault(k, []).append(v)
+                yield row
+
+        summary = evaluation_protocol.accumulate_metrics(evaluated())
+        return save_evaluation_results(
+            str(output), metrics=summary, metrics_lists=per_image,
+            evaluation_protocol=evaluation_protocol.get_name(),
+            nb_info=nb_info)
+
+
+# ---------------------------------------------------------------------------
+# prediction rendering / archiving
+# ---------------------------------------------------------------------------
+
+def _relative_image_name(dataset: Dataset, i: int) -> Path:
+    name = Path(dataset["image_paths"][i])
+    root = dataset.get("image_paths_root")
+    return name.relative_to(Path(root)) if root is not None else name
+
+
+def _write_frame(writer, relname: Path, pred: RenderOutput, gt: np.ndarray,
+                 camera, meta: dict):
+    """Write one prediction's files (gt/pred color, camera, optional depth,
+    linear variants) through a PredictionWriter backend."""
+    color_space = meta["color_space"]
+    bg = meta.get("background_color")
+    as_srgb = lambda img: image_to_srgb(  # noqa: E731
+        img, np.uint8, color_space=color_space, allow_alpha=True,
+        background_color=bg)
+
+    with writer.file(f"gt-color/{relname.with_suffix('.png').as_posix()}") as f:
+        save_image(f, as_srgb(gt))
+    with writer.file(f"color/{relname.with_suffix('.png').as_posix()}") as f:
+        save_image(f, as_srgb(pred["color"]))
+    with writer.file(f"cameras/{relname.with_suffix('.npz').as_posix()}") as f:
+        arrays = {}
+        camera.apply(lambda arr, name: arrays.setdefault(name, arr))
+        np.savez(f, **arrays)
+    if "depth" in pred:
+        with writer.file(f"depth/{relname.with_suffix('.bin').as_posix()}") as f:
+            save_depth(f, pred["depth"])
+        depth_rgb = visualize_depth(
+            pred["depth"],
+            near_far=camera.nears_fars[0] if camera.nears_fars is not None else None,
+            expected_scale=meta.get("expected_scene_scale"))
+        with writer.file(f"depth-rgb/{relname.with_suffix('.png').as_posix()}") as f:
+            save_image(f, convert_image_dtype(depth_rgb, np.uint8))
+    if color_space == "linear":
+        with writer.file(f"gt-color-linear/{relname.with_suffix('.bin').as_posix()}") as f:
+            save_image(f, gt)
+        with writer.file(f"color-linear/{relname.with_suffix('.bin').as_posix()}") as f:
+            save_image(f, pred["color"])
+
+
+def save_predictions(output: str, predictions: Iterable[RenderOutput],
+                     dataset: Dataset, *, nb_info=None) -> Iterable[RenderOutput]:
+    """Write gt-color/color/cameras(+depth) to a dir or .tar.gz and re-yield
+    each prediction (reference evaluation.py:676-761)."""
+    meta = dataset["metadata"]
+    bg = meta.get("background_color", None)
+    assert bg is None or bg.dtype == np.uint8
+    sizes = dataset["cameras"].image_sizes
+    assert sizes is not None
+
+    with PredictionWriter.open(output) as writer:
+        with writer.file("info.json") as f:
+            f.write(json.dumps(serialize_nb_info({
+                **(nb_info or {}),
+                "render_datetime": datetime.utcnow().isoformat(timespec="seconds"),
+                "render_dataset_metadata": meta,
+            }), indent=2).encode("utf-8"))
+        for i, pred in enumerate(predictions):
+            w, h = sizes[i]
+            gt = dataset["images"][i][:h, :w]
+            assert gt.shape[:2] == pred["color"].shape[:2], (
+                f"gt size {gt.shape[:2]} != pred size {pred['color'].shape[:2]}")
+            _write_frame(writer, _relative_image_name(dataset, i), pred, gt,
+                         dataset["cameras"][i], meta)
+            yield pred
+
+
 def render_all_images(method: Method, dataset: Dataset, output: str, *,
                       description: str = "rendering all images",
                       nb_info: Optional[dict] = None,
                       evaluation_protocol: EvaluationProtocol) -> Iterable[RenderOutput]:
-    """reference evaluation.py:477-514."""
+    """Render every dataset camera through the protocol and archive
+    (reference evaluation.py:477-514)."""
     logger.info("Rendering images with evaluation protocol %s",
                 evaluation_protocol.get_name())
-    if nb_info is None:
-        nb_info = {}
-    else:
-        nb_info = nb_info.copy()
-    nb_info["evaluation_protocol"] = evaluation_protocol.get_name()
-    yield from save_predictions(
-        output,
-        (evaluation_protocol.render(method, dataset_index_select(dataset, [i]))
-         for i in range(len(dataset["image_paths"]))),
-        dataset=dataset, nb_info=nb_info)
+    info = dict(nb_info or {})
+    info["evaluation_protocol"] = evaluation_protocol.get_name()
+    frames = (evaluation_protocol.render(method, dataset_index_select(dataset, [i]))
+              for i in range(len(dataset["image_paths"])))
+    yield from save_predictions(output, frames, dataset=dataset, nb_info=info)
 
 
 def render_frames(method: Method, cameras: Cameras, output: Union[str, Path],
@@ -298,120 +419,120 @@ def render_frames(method: Method, cameras: Cameras, output: Union[str, Path],
                   description: str = "rendering frames",
                   output_type: OutputType = "color",
                   nb_info: Optional[dict] = None) -> None:
-    """Trajectory video/frames rendering (reference evaluation.py:517-575)."""
-    output = Path(output)
+    """Trajectory rendering to frames (dir/.tar.gz) or video (.mp4/.gif)
+    (reference evaluation.py:517-575)."""
+    output = str(output)
     assert cameras.image_sizes is not None
-    color_space = "srgb"
-    background_color = nb_info.get("background_color") if nb_info else None
-    expected_scene_scale = nb_info.get("expected_scene_scale") if nb_info else None
+    info = nb_info or {}
 
-    def _predict_all(allow_transparency=True):
+    def frames(allow_alpha=True):
         for i, cam in enumerate(cameras):
             pred = method.render(cam, options={
                 "embedding": embeddings[i] if embeddings is not None else None})
-            pred_image = image_to_srgb(pred["color"], np.uint8, color_space=color_space,
-                                       allow_alpha=allow_transparency,
-                                       background_color=background_color)
             if output_type == "color":
-                yield pred_image
+                yield image_to_srgb(pred["color"], np.uint8,
+                                    color_space="srgb", allow_alpha=allow_alpha,
+                                    background_color=info.get("background_color"))
             elif output_type == "depth":
                 assert "depth" in pred, "Method does not output depth"
-                depth_rgb = visualize_depth(
-                    pred["depth"],
-                    near_far=cameras.nears_fars[i] if cameras.nears_fars is not None else None,
-                    expected_scale=expected_scene_scale)
-                yield convert_image_dtype(depth_rgb, np.uint8)
+                nf = (cameras.nears_fars[i]
+                      if cameras.nears_fars is not None else None)
+                yield convert_image_dtype(
+                    visualize_depth(pred["depth"], near_far=nf,
+                                    expected_scale=info.get("expected_scene_scale")),
+                    np.uint8)
             else:
                 raise RuntimeError(f"Output type {output_type} is not supported.")
 
-    if str(output).endswith(".tar.gz"):
-        with tarfile.open(output, "w:gz") as tar:
-            for i, frame in enumerate(_predict_all()):
-                rel_path = f"{i:05d}.png"
-                tarinfo = tarfile.TarInfo(name=rel_path)
-                tarinfo.mtime = int(time.time())
-                with io.BytesIO() as f:
-                    save_image(f, frame)
-                    tarinfo.size = f.tell()
-                    f.seek(0)
-                    tar.addfile(tarinfo=tarinfo, fileobj=f)
-    elif str(output).endswith(".mp4") or str(output).endswith(".gif"):
+    if output.endswith(".mp4") or output.endswith(".gif"):
         try:
             import mediapy
         except ImportError as e:
             raise RuntimeError("mediapy is required for video output") from e
         w, h = cameras.image_sizes[0]
-        codec = "gif" if str(output).endswith(".gif") else "h264"
-        with mediapy.VideoWriter(output, (h, w), fps=fps, codec=codec) as writer:
-            for frame in _predict_all(allow_transparency=False):
-                writer.add_image(frame)
-    else:
-        os.makedirs(output, exist_ok=True)
-        for i, frame in enumerate(_predict_all()):
-            with open(os.path.join(output, f"{i:05d}.png"), "wb") as f:
+        codec = "gif" if output.endswith(".gif") else "h264"
+        with mediapy.VideoWriter(output, (h, w), fps=fps, codec=codec) as vw:
+            for frame in frames(allow_alpha=False):
+                vw.add_image(frame)
+        return
+    with PredictionWriter.open(output) as writer:
+        for i, frame in enumerate(frames()):
+            with writer.file(f"{i:05d}.png") as f:
                 save_image(f, frame)
 
 
+# ---------------------------------------------------------------------------
+# trajectories
+# ---------------------------------------------------------------------------
+
 def trajectory_get_cameras(trajectory: Trajectory) -> Cameras:
-    """reference evaluation.py:578-591."""
+    """Camera batch from a viewer trajectory (reference evaluation.py:578-591)."""
     if trajectory["camera_model"] != "pinhole":
         raise NotImplementedError("Only pinhole camera model is supported")
-    poses = np.stack([x["pose"] for x in trajectory["frames"]])
-    intrinsics = np.stack([x["intrinsics"] for x in trajectory["frames"]])
-    camera_models = np.array([camera_model_to_int(trajectory["camera_model"])] * len(poses), np.int32)
-    image_sizes = np.array([list(trajectory["image_size"])] * len(poses), np.int32)
-    return new_cameras(poses=poses, intrinsics=intrinsics, camera_models=camera_models,
-                       image_sizes=image_sizes,
-                       distortion_parameters=np.zeros((len(poses), 0), np.float32),
-                       nears_fars=None, metadata=None)
+    frames = trajectory["frames"]
+    n = len(frames)
+    return new_cameras(
+        poses=np.stack([f["pose"] for f in frames]),
+        intrinsics=np.stack([f["intrinsics"] for f in frames]),
+        camera_models=np.full((n,), camera_model_to_int(trajectory["camera_model"]),
+                              np.int32),
+        image_sizes=np.tile(np.array(trajectory["image_size"], np.int32), (n, 1)),
+        distortion_parameters=np.zeros((n, 0), np.float32),
+        nears_fars=None, metadata=None)
 
 
-def trajectory_get_embeddings(method: Method, trajectory: Trajectory) -> Optional[List[np.ndarray]]:
-    """reference evaluation.py:594-619."""
-    appearances = list(trajectory.get("appearances") or [])
-    appearance_embeddings: List[Optional[np.ndarray]] = [None] * len(appearances)
-    for i, appearance in enumerate(appearances):
+def trajectory_get_embeddings(method: Method,
+                              trajectory: Trajectory) -> Optional[List[np.ndarray]]:
+    """Per-frame appearance embeddings: each frame blends the trajectory's
+    appearance anchors by its appearance_weights (reference
+    evaluation.py:594-619)."""
+    anchors = []
+    for appearance in trajectory.get("appearances") or []:
         if appearance.get("embedding") is not None:
-            appearance_embeddings[i] = appearance.get("embedding")
+            anchors.append(appearance["embedding"])
         elif appearance.get("embedding_train_index") is not None:
-            appearance_embeddings[i] = method.get_train_embedding(
-                assert_not_none(appearance.get("embedding_train_index")))
-    if all(x is None for x in appearance_embeddings):
+            anchors.append(method.get_train_embedding(
+                appearance["embedding_train_index"]))
+        else:
+            anchors.append(None)
+    have_anchor = [a is not None for a in anchors]
+    if not any(have_anchor):
         return None
-    if not all(x is not None for x in appearance_embeddings):
+    if not all(have_anchor):
         raise ValueError("Either all embeddings must be provided or all must be missing")
-    if all(x.get("appearance_weights") is None for x in trajectory["frames"]):
+    have_weights = [f.get("appearance_weights") is not None
+                    for f in trajectory["frames"]]
+    if not any(have_weights):
         return None
-    if not all(x.get("appearance_weights") is not None for x in trajectory["frames"]):
+    if not all(have_weights):
         raise ValueError("Either all appearance weights must be provided or all must be missing")
-    appearance_embeddings_np = np.stack(cast(List[np.ndarray], appearance_embeddings))
-    out = []
-    for frame in trajectory["frames"]:
-        out.append(frame.get("appearance_weights") @ appearance_embeddings_np)
-    return out
+    anchor_mat = np.stack(anchors)
+    return [f["appearance_weights"] @ anchor_mat for f in trajectory["frames"]]
 
+
+# ---------------------------------------------------------------------------
+# results serialization
+# ---------------------------------------------------------------------------
 
 def _encode_values(values: List[float]) -> str:
-    return base64.b64encode(b"".join(struct.pack("f", v) for v in values)).decode("ascii")
+    return base64.b64encode(np.asarray(values, "<f4").tobytes()).decode("ascii")
 
 
 def serialize_evaluation_results(metrics: Dict, metrics_lists,
                                  evaluation_protocol: str, nb_info: Dict):
-    """reference evaluation.py:626-646."""
-    precision = 5
-    nb_info = serialize_nb_info(nb_info)
+    """Results JSON payload with base64-packed raw per-image metrics
+    (reference evaluation.py:626-646)."""
+    info = serialize_nb_info(nb_info)
     out = {}
-    render_datetime = nb_info.pop("render_datetime", None)
-    if render_datetime is not None:
-        out["render_datetime"] = render_datetime
-    render_dataset_metadata = nb_info.pop("render_dataset_metadata", None)
-    if render_dataset_metadata is not None:
-        out["render_dataset_metadata"] = render_dataset_metadata
+    for promoted in ("render_datetime", "render_dataset_metadata"):
+        value = info.pop(promoted, None)
+        if value is not None:
+            out[promoted] = value
     out.update({
-        "nb_info": nb_info,
+        "nb_info": info,
         "evaluate_datetime": datetime.utcnow().isoformat(timespec="seconds"),
-        "metrics": {k: round(v, precision) for k, v in metrics.items()},
-        "metrics_raw": {k: _encode_values(metrics_lists[k]) for k in metrics_lists},
+        "metrics": {k: round(v, 5) for k, v in metrics.items()},
+        "metrics_raw": {k: _encode_values(v) for k, v in metrics_lists.items()},
         "evaluation_protocol": evaluation_protocol,
     })
     return out
@@ -419,101 +540,13 @@ def serialize_evaluation_results(metrics: Dict, metrics_lists,
 
 def save_evaluation_results(file, metrics: Dict, metrics_lists,
                             evaluation_protocol: str, nb_info: Dict):
+    out = serialize_evaluation_results(metrics, metrics_lists,
+                                       evaluation_protocol, nb_info)
     if isinstance(file, str):
         if os.path.exists(file):
             raise FileExistsError(f"{file} already exists")
         with open(file, "w", encoding="utf8") as f:
-            return save_evaluation_results(f, metrics, metrics_lists,
-                                           evaluation_protocol, nb_info)
-    out = serialize_evaluation_results(metrics, metrics_lists, evaluation_protocol, nb_info)
-    json.dump(out, file, indent=2)
-    return out
-
-
-def save_cameras_npz(file, cameras):
-    numpy_arrays = {}
-
-    def extract_array(arr, name):
-        numpy_arrays[name] = arr
-        return arr
-    cameras.apply(extract_array)
-    np.savez(file, **numpy_arrays)
-
-
-def save_predictions(output: str, predictions: Iterable[RenderOutput],
-                     dataset: Dataset, *, nb_info=None) -> Iterable[RenderOutput]:
-    """Write gt-color/color/cameras(+depth) to a dir or .tar.gz
-    (reference evaluation.py:676-761)."""
-    background_color = dataset["metadata"].get("background_color", None)
-    assert background_color is None or background_color.dtype == np.uint8
-    color_space = dataset["metadata"]["color_space"]
-    expected_scene_scale = dataset["metadata"].get("expected_scene_scale")
-    allow_transparency = True
-
-    def _predict_all(open_fn) -> Iterable[RenderOutput]:
-        for i, (pred, (w, h)) in enumerate(
-                zip(predictions, assert_not_none(dataset["cameras"].image_sizes))):
-            gt_image = image_to_srgb(dataset["images"][i][:h, :w], np.uint8,
-                                     color_space=color_space,
-                                     allow_alpha=allow_transparency,
-                                     background_color=background_color)
-            pred_image = image_to_srgb(pred["color"], np.uint8, color_space=color_space,
-                                       allow_alpha=allow_transparency,
-                                       background_color=background_color)
-            assert gt_image.shape[:-1] == pred_image.shape[:-1], \
-                f"gt size {gt_image.shape[:-1]} != pred size {pred_image.shape[:-1]}"
-            relative_name = Path(dataset["image_paths"][i])
-            if dataset["image_paths_root"] is not None:
-                relative_name = relative_name.relative_to(Path(dataset["image_paths_root"]))
-            with open_fn(f"gt-color/{relative_name.with_suffix('.png')}") as f:
-                save_image(f, gt_image)
-            with open_fn(f"color/{relative_name.with_suffix('.png')}") as f:
-                save_image(f, pred_image)
-            with open_fn(f"cameras/{relative_name.with_suffix('.npz')}") as f:
-                save_cameras_npz(f, dataset["cameras"][i])
-            if "depth" in pred:
-                with open_fn(f"depth/{relative_name.with_suffix('.bin')}") as f:
-                    save_depth(f, pred["depth"])
-                depth_rgb = visualize_depth(
-                    pred["depth"],
-                    near_far=dataset["cameras"].nears_fars[i]
-                    if dataset["cameras"].nears_fars is not None else None,
-                    expected_scale=expected_scene_scale)
-                with open_fn(f"depth-rgb/{relative_name.with_suffix('.png')}") as f:
-                    save_image(f, depth_rgb)
-            if color_space == "linear":
-                with open_fn(f"gt-color-linear/{relative_name.with_suffix('.bin')}") as f:
-                    save_image(f, dataset["images"][i][:h, :w])
-                with open_fn(f"color-linear/{relative_name.with_suffix('.bin')}") as f:
-                    save_image(f, pred["color"])
-            yield pred
-
-    def write_metadata(open_fn):
-        with open_fn("info.json") as fp:
-            fp.write(json.dumps(
-                serialize_nb_info({
-                    **(nb_info or {}),
-                    "render_datetime": datetime.utcnow().isoformat(timespec="seconds"),
-                    "render_dataset_metadata": dataset["metadata"],
-                }), indent=2).encode("utf-8"))
-
-    if str(output).endswith(".tar.gz"):
-        with tarfile.open(output, "w:gz") as tar:
-            @contextlib.contextmanager
-            def open_fn_tar(path):
-                tarinfo = tarfile.TarInfo(name=path)
-                tarinfo.mtime = int(time.time())
-                with io.BytesIO() as f:
-                    yield f
-                    tarinfo.size = f.tell()
-                    f.seek(0)
-                    tar.addfile(tarinfo=tarinfo, fileobj=f)
-            write_metadata(open_fn_tar)
-            yield from _predict_all(open_fn_tar)
+            json.dump(out, f, indent=2)
     else:
-        def open_fn_fs(path):
-            path = os.path.join(output, path)
-            Path(path).parent.mkdir(parents=True, exist_ok=True)
-            return open(path, "wb")
-        write_metadata(open_fn_fs)
-        yield from _predict_all(open_fn_fs)
+        json.dump(out, file, indent=2)
+    return out

@@ -31,47 +31,49 @@ def convert_image_dtype(image: np.ndarray, dtype) -> np.ndarray:
 
 
 class Indices:
-    """Step-schedule helper (reference utils.py:64-105): Indices.every_iters(n)
-    or explicit slices; call setup(total) then `i in indices`."""
+    """Step schedule: an explicit step list or a [start:stop:step] range.
+
+    Capability mirror of the reference schedule helper (utils.py:64-105),
+    written from its observable contract: `step in schedule` membership,
+    negative values resolved against the run length (set `.total` first),
+    and `every_iters(n)` for periodic schedules. Unlike the reference,
+    negative slice starts resolve as total+start (the reference computes
+    total-start, which points past the end of the run).
+    """
 
     def __init__(self, steps):
-        self._steps = steps
+        self._spec = steps
         self.total: Optional[int] = None
 
-    def __contains__(self, x):
-        if isinstance(self._steps, list):
-            steps = self._steps
-            if any(x < 0 for x in self._steps):
-                assert self.total is not None, "total must be specified for negative steps"
-                steps = set(x if x >= 0 else self.total + x for x in self._steps)
-            return x in steps
-        elif isinstance(self._steps, slice):
-            start: int = self._steps.start or 0
-            if start < 0:
-                assert self.total is not None, "total must be specified for negative start"
-                start = self.total - start
-            stop: Optional[int] = self._steps.stop or self.total
-            if stop is not None and stop < 0:
-                assert self.total is not None, "total must be specified for negative stop"
-                stop += self.total
-            step: int = self._steps.step or 1
-            return x >= start and (stop is None or x < stop) and (x - start) % step == 0
+    def _resolve(self, v: Optional[int]) -> Optional[int]:
+        if v is None or v >= 0:
+            return v
+        if self.total is None:
+            raise ValueError("negative schedule values need a known total")
+        return self.total + v
+
+    def __contains__(self, step: int) -> bool:
+        if isinstance(self._spec, slice):
+            lo = self._resolve(self._spec.start) or 0
+            hi = self._resolve(self._spec.stop)
+            if hi is None:
+                hi = self.total
+            stride = self._spec.step or 1
+            in_range = step >= lo and (hi is None or step < hi)
+            return in_range and (step - lo) % stride == 0
+        return step in {self._resolve(v) for v in self._spec}
 
     @classmethod
     def every_iters(cls, iters: int, zero: bool = False):
-        start = iters if zero else 0
-        return cls(slice(start, None, iters))
+        # note the reference's quirk (utils.py:89-91): zero=True STARTS the
+        # range at `iters` — kept for schedule-for-schedule compatibility
+        return cls(slice(iters if zero else 0, None, iters))
 
     def __repr__(self):
-        if isinstance(self._steps, list):
-            return ",".join(map(str, self._steps))
-        elif isinstance(self._steps, slice):
-            out = f"{self._steps.start or ''}:{self._steps.stop or ''}"
-            if self._steps.step is not None:
-                out += f":{self._steps.step}"
-            return out
-        else:
-            return repr(self._steps)
+        if isinstance(self._spec, slice):
+            parts = [self._spec.start, self._spec.stop, self._spec.step]
+            return ":".join("" if p is None else str(p) for p in parts)
+        return ",".join(str(v) for v in self._spec)
 
     __str__ = __repr__
 
@@ -221,40 +223,40 @@ def make_image_grid(*images: np.ndarray, ncol=None, padding=2, max_width=1920,
 
 
 class MetricsAccumulator:
-    """Averages metrics over logging windows (reference utils.py:327-360)."""
+    """Windowed metric reduction between logger flushes.
+
+    Per-key reduction mode via `options` (default "average"); `pop()`
+    returns the reduced window and resets. Same contract as the reference
+    accumulator (utils.py:327-360), reimplemented with explicit
+    value/count maps and a reducer table.
+    """
+
+    _REDUCERS = {
+        "average": lambda old, new, n: old + (new - old) / n,
+        "last": lambda old, new, n: new,
+        "max": lambda old, new, n: new if new > old else old,
+        "sum": lambda old, new, n: old + new,
+    }
 
     def __init__(self, options=None):
-        self.options = options or {}
-        self._state = None
+        self.options = dict(options or {})
+        self._values: dict = {}
+        self._counts: dict = {}
 
     def update(self, metrics):
-        if self._state is None:
-            self._state = {}
-        state = self._state
-        n_iters_since_update = state["n_iters_since_update"] = state.get("n_iters_since_update", {})
-        for k, v in metrics.items():
-            accumulator = self.options.get(k, "average")
-            n_iters_since_update[k] = n = n_iters_since_update.get(k, 0) + 1
-            if k not in state:
-                state[k] = 0
-            if accumulator == "last":
-                state[k] = v
-            elif accumulator == "average":
-                state[k] += (v - state[k]) / n
-            elif accumulator == "max":
-                state[k] = max(state[k], v)
-            elif accumulator == "sum":
-                state[k] += v
-            else:
-                raise ValueError(f"Unknown accumulator {accumulator}")
+        for key, value in metrics.items():
+            mode = self.options.get(key, "average")
+            try:
+                reduce = self._REDUCERS[mode]
+            except KeyError:
+                raise ValueError(f"Unknown accumulator {mode}") from None
+            n = self._counts[key] = self._counts.get(key, 0) + 1
+            self._values[key] = reduce(self._values.get(key, 0), value, n)
 
     def pop(self):
-        if self._state is None:
-            return {}
-        state = self._state
-        state.pop("n_iters_since_update", None)
-        self._state = None
-        return state
+        out = self._values
+        self._values, self._counts = {}, {}
+        return out
 
 
 @contextlib.contextmanager
