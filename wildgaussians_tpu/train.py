@@ -59,73 +59,65 @@ class SetParamOptionType(click.ParamType):
         return k, v
 
 
+def _outputs_for_split(output: str, step: int, split: str):
+    """(predictions archive, results json) paths; stale ones are removed."""
+    suffix = "" if split == "test" else f"-{split}"
+    preds = os.path.join(output, f"predictions-{step}{suffix}.tar.gz")
+    results = os.path.join(output, f"results-{step}{suffix}.json")
+    for path in (preds, results):
+        if os.path.exists(path):
+            (os.unlink if os.path.isfile(path) else shutil.rmtree)(path)
+            logger_py.warning("removed existing %s", path)
+    return preds, results
+
+
 def eval_all(method, logger: Logger, dataset: Dataset, *, output: str, step: int,
              evaluation_protocol: EvaluationProtocol, split: str, nb_info):
-    """reference train.py:33-117."""
-    metrics: Optional[Dict[str, float]] = {} if logger else None
-    expected_scene_scale = dataset["metadata"].get("expected_scene_scale")
+    """Render + archive every camera of `dataset`, score the archive, and log
+    the summary (capability mirror of the reference's final evaluation,
+    train.py:33-117)."""
+    preds_path, results_path = _outputs_for_split(output, step, split)
+    meta = dataset["metadata"]
+    sizes = dataset["cameras"].image_sizes
 
-    if split != "test":
-        output_metrics = os.path.join(output, f"results-{step}-{split}.json")
-        output = os.path.join(output, f"predictions-{step}-{split}.tar.gz")
-    else:
-        output_metrics = os.path.join(output, f"results-{step}.json")
-        output = os.path.join(output, f"predictions-{step}.tar.gz")
-    for p in (output, output_metrics):
-        if os.path.exists(p):
-            (os.unlink if os.path.isfile(p) else shutil.rmtree)(p)
-            logger_py.warning("removed existing %s", p)
-
-    start = time.perf_counter()
+    grid_pairs = []          # first 16 (gt, prediction) sRGB pairs
     total_rays = 0
-    num_vis_images = 16
-    vis_images: List[Tuple[np.ndarray, np.ndarray]] = []
-    vis_depth: List[np.ndarray] = []
-    for (i, gt), pred, (w, h) in zip(
-            enumerate(dataset["images"]),
-            render_all_images(method, dataset, output=output,
-                              description=f"rendering all images at step={step}",
-                              nb_info=nb_info, evaluation_protocol=evaluation_protocol),
-            dataset["cameras"].image_sizes):
+    start = time.perf_counter()
+    renders = render_all_images(
+        method, dataset, output=preds_path,
+        description=f"rendering all images at step={step}",
+        nb_info=nb_info, evaluation_protocol=evaluation_protocol)
+    for i, pred in enumerate(renders):
+        w, h = sizes[i]
         total_rays += int(w) * int(h)
-        if len(vis_images) < num_vis_images:
-            background_color = dataset["metadata"].get("background_color", None)
-            dataset_colorspace = dataset["metadata"].get("color_space", "srgb")
-            color_srgb = image_to_srgb(pred["color"], np.uint8,
-                                       color_space=dataset_colorspace,
-                                       background_color=background_color)
-            gt_srgb = image_to_srgb(gt[:h, :w], np.uint8,
-                                    color_space=dataset_colorspace,
-                                    background_color=background_color)
-            vis_images.append((gt_srgb, color_srgb))
-            if "depth" in pred:
-                near_far = (dataset["cameras"].nears_fars[i]
-                            if dataset["cameras"].nears_fars is not None else None)
-                vis_depth.append(visualize_depth(pred["depth"],
-                                                 expected_scale=expected_scene_scale,
-                                                 near_far=near_far))
+        if len(grid_pairs) < 16:
+            to_srgb = lambda img: image_to_srgb(  # noqa: E731
+                img, np.uint8, color_space=meta.get("color_space", "srgb"),
+                background_color=meta.get("background_color"))
+            grid_pairs.append((to_srgb(dataset["images"][i][:h, :w]),
+                               to_srgb(pred["color"])))
     elapsed = time.perf_counter() - start
 
-    info = evaluate(output, output_metrics, evaluation_protocol=evaluation_protocol,
+    info = evaluate(preds_path, results_path,
+                    evaluation_protocol=evaluation_protocol,
                     description=f"evaluating all images at step={step}")
-    metrics = info["metrics"]
-
-    if logger:
-        assert metrics is not None
-        metrics["fps"] = len(dataset["cameras"]) / elapsed
-        metrics["rays-per-second"] = total_rays / elapsed
-        metrics["time"] = elapsed
-        with logger.add_event(step) as event:
-            for k, v in metrics.items():
-                if v == v:  # skip NaN (e.g. lpips offline)
-                    event.add_scalar(f"eval-all-{split}/{k}", v)
-        num_cols = max(int(math.sqrt(len(vis_images))), 1)
-        color_vis = make_image_grid(
-            make_image_grid(*[x[0] for x in vis_images], ncol=num_cols),
-            make_image_grid(*[x[1] for x in vis_images], ncol=num_cols))
-        logger.add_image(f"eval-all-{split}/color", color_vis, step=step,
-                         display_name="color",
-                         description="left: gt, right: prediction")
+    if not logger:
+        return
+    metrics = dict(info["metrics"])
+    metrics["fps"] = len(dataset["cameras"]) / elapsed
+    metrics["rays-per-second"] = total_rays / elapsed
+    metrics["time"] = elapsed
+    with logger.add_event(step) as event:
+        for k, v in metrics.items():
+            if v == v:  # NaN-valued metrics (e.g. offline lpips) are skipped
+                event.add_scalar(f"eval-all-{split}/{k}", v)
+    ncol = max(int(math.sqrt(len(grid_pairs))), 1)
+    side_by_side = make_image_grid(
+        make_image_grid(*[gt for gt, _ in grid_pairs], ncol=ncol),
+        make_image_grid(*[render for _, render in grid_pairs], ncol=ncol))
+    logger.add_image(f"eval-all-{split}/color", side_by_side, step=step,
+                     display_name="color",
+                     description="left: gt, right: prediction")
 
 
 def _slice_dataset(dataset: Dataset):
@@ -134,59 +126,64 @@ def _slice_dataset(dataset: Dataset):
 
 
 def eval_few_custom(method: WildGaussians, logger: Logger, dataset: Dataset,
-                    split: str, step: int, evaluation_protocol: EvaluationProtocol):
-    """reference train.py:126-196 (NerfW left/right-half protocol)."""
-    embeddings = None
-    evaluation_dataset = dataset
-    metrics = MetricsAccumulator()
-    optim_metrics = None
-    eval_few_rows: List[List[np.ndarray]] = [[] for _ in range(len(dataset["cameras"]))]
+                    split: str, step: int,
+                    evaluation_protocol: EvaluationProtocol):
+    """Quick periodic eval on a handful of cameras.
 
-    if evaluation_protocol.get_name() == "nerfw":
-        optimization_dataset = horizontal_half_dataset(dataset, left=True)
+    Under the NerfW protocol each camera's appearance embedding is first
+    optimized on the LEFT image half and scoring happens on the RIGHT half,
+    with an extra non-optimized render column for comparison (reference
+    train.py:126-196, phototourism.py:215-251).
+    """
+    nerfw = evaluation_protocol.get_name() == "nerfw"
+    metrics = MetricsAccumulator()
+    optim_curves = None
+    embeddings = None
+    rows = [[] for _ in dataset["cameras"]]     # image-grid row per camera
+
+    if nerfw:
+        left = horizontal_half_dataset(dataset, left=True)
         embeddings = []
-        for dataslice in _slice_dataset(optimization_dataset):
+        for dataslice in _slice_dataset(left):
             optim = method.optimize_embedding(dataslice)
             embeddings.append(optim["embedding"])
-            if optim_metrics is None and "metrics" in optim:
-                optim_metrics = optim["metrics"]
-        evaluation_dataset = horizontal_half_dataset(dataset, left=False)
-        images_f = [image_to_srgb(img, dtype=np.float32) for img in evaluation_dataset["images"]]
-        for i, result_no_optim in enumerate(
-                method.render(cam) for cam in evaluation_dataset["cameras"]):
-            metrics.update({k + "-nopt": v for k, v in compute_metrics(
-                image_to_srgb(result_no_optim["color"], dtype=np.float32),
-                images_f[i]).items()})
-            eval_few_rows[i].append(image_to_srgb(result_no_optim["color"], dtype=np.uint8))
-    else:
-        images_f = [image_to_srgb(img, dtype=np.float32) for img in evaluation_dataset["images"]]
+            if optim_curves is None and "metrics" in optim:
+                optim_curves = optim["metrics"]
+        dataset = horizontal_half_dataset(dataset, left=False)
 
-    for i in range(len(evaluation_dataset["cameras"])):
-        eval_few_rows[i].insert(0, evaluation_dataset["images"][i])
+    gt_f = [image_to_srgb(img, dtype=np.float32) for img in dataset["images"]]
+    for i, cam in enumerate(dataset["cameras"]):
+        rows[i].append(dataset["images"][i])
+        if nerfw:
+            plain = method.render(cam)["color"]
+            metrics.update({f"{k}-nopt": v for k, v in compute_metrics(
+                image_to_srgb(plain, dtype=np.float32), gt_f[i]).items()})
+            rows[i].append(image_to_srgb(plain, dtype=np.uint8))
 
     renders = []
-    for i, result_optim in enumerate(
-            method.render(cam, options={"embedding": embeddings[i] if embeddings is not None else None})
-            for i, cam in enumerate(evaluation_dataset["cameras"])):
-        metrics.update(compute_metrics(
-            image_to_srgb(result_optim["color"], dtype=np.float32), images_f[i]))
-        renders.append(image_to_srgb(result_optim["color"], dtype=np.uint8))
-        eval_few_rows[i].append(renders[-1])
-    cast(Dict, evaluation_dataset)["renders"] = renders
+    for i, cam in enumerate(dataset["cameras"]):
+        opts = {"embedding": embeddings[i]} if embeddings is not None else {"embedding": None}
+        color = method.render(cam, options=opts)["color"]
+        metrics.update(compute_metrics(image_to_srgb(color, dtype=np.float32),
+                                       gt_f[i]))
+        renders.append(image_to_srgb(color, dtype=np.uint8))
+        rows[i].append(renders[-1])
+    cast(Dict, dataset)["renders"] = renders
 
     with logger.add_event(step) as event:
         for k, v in metrics.pop().items():
             if v == v:
                 event.add_scalar(f"eval-few-{split}/{k}", v)
-        ncol = 4 if evaluation_protocol.get_name() == "nerfw" else 3
-        event.add_image(f"eval-few-{split}/color",
-                        make_image_grid(*[x for y in eval_few_rows for x in y], ncol=ncol),
-                        description="left: gt, then renders")
-        if optim_metrics is not None:
-            for k in ["psnr", "mse"]:
-                metric = optim_metrics[k]
+        event.add_image(
+            f"eval-few-{split}/color",
+            make_image_grid(*[img for row in rows for img in row],
+                            ncol=len(rows[0])),
+            description="left: gt, then renders")
+        if optim_curves is not None:
+            for k in ("psnr", "mse"):
+                curve = optim_curves[k]
                 event.add_plot(f"eval-few-{split}/optimization-{k}",
-                               np.stack((np.arange(len(metric)), metric), -1),
+                               np.stack((np.arange(len(curve)), curve), -1),
                                axes_labels=("iteration", k),
                                title=f"Optimization of {k} over iterations")
 
@@ -281,11 +278,30 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
     for lg in loggers:
         lg.add_hparams(dataclasses.asdict(method.config))
 
+    def save_checkpoint(at_step: int):
+        path = output_path / f"checkpoint-{at_step}"
+        if path.exists():
+            shutil.rmtree(path)
+            logger_py.warning("removed existing checkpoint at %s", path)
+        method.save(str(path))
+        with open(path / "nb-info.json", "w", encoding="utf8") as f:
+            json.dump({"method": "wild-gaussians-tpu"}, f)
+        logger_py.info("checkpoint saved at step=%d", at_step)
+
+    def dump_appearance_embeddings(at_step: int):
+        labels = [{"name": os.path.relpath(x, train_dataset["image_paths_root"]),
+                   "id": i} for i, x in enumerate(train_dataset["image_paths"])]
+        logger.add_embedding("train/appearance-embeddings",
+                             np.asarray(method.params["appearance_embeddings"]),
+                             images=train_images_thumbnails, labels=labels,
+                             step=at_step)
+
     acc_metrics = MetricsAccumulator()
     num_iterations = info["num_iterations"]
     step = 0
-    for step in (pbar := tqdm(range(num_iterations), miniters=10, desc="training",
-                              disable=debug)):
+    pbar = tqdm(range(num_iterations), miniters=10, desc="training",
+                disable=debug)
+    for step in pbar:
         if profile_dir is not None and step == 20:
             import jax
             jax.profiler.start_trace(profile_dir)
@@ -297,54 +313,34 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
         acc_metrics.update(metrics)
 
         if step % 100 == 0:
-            acc_metrics_values = acc_metrics.pop()
+            window = acc_metrics.pop()
             with logger.add_event(step) as event:
-                for k, val in acc_metrics_values.items():
+                for k, val in window.items():
                     event.add_scalar(f"train/{k}", val)
-            pbar.set_postfix({"train/loss": f"{acc_metrics_values['loss']:.4f}",
-                              "psnr": f"{acc_metrics_values['psnr']:.4f}"})
-
+            pbar.set_postfix({"train/loss": f"{window['loss']:.4f}",
+                              "psnr": f"{window['psnr']:.4f}"})
         if step % 10_000 == 0:
-            path = output_path / f"checkpoint-{step}"
-            if path.exists():
-                shutil.rmtree(path)
-                logger_py.warning("removed existing checkpoint at %s", path)
-            method.save(str(path))
-            with open(path / "nb-info.json", "w", encoding="utf8") as f:
-                json.dump({"method": "wild-gaussians-tpu"}, f)
-            logger_py.info("checkpoint saved at step=%d", step)
-
+            save_checkpoint(step)
+            if method.config.appearance_enabled:
+                dump_appearance_embeddings(step)
         if step in eval_few_iters:
-            eval_few_custom(method, logger, train_dataset_eval_few, split="train",
-                            step=step, evaluation_protocol=evaluation_protocol)
-            eval_few_custom(method, logger, test_dataset_eval_few, split="test",
-                            step=step, evaluation_protocol=evaluation_protocol)
-
-        if step % 10_000 == 0 and method.config.appearance_enabled:
-            labels = [{"name": os.path.relpath(x, train_dataset["image_paths_root"]),
-                       "id": i} for i, x in enumerate(train_dataset["image_paths"])]
-            logger.add_embedding("train/appearance-embeddings",
-                                 np.asarray(method.params["appearance_embeddings"]),
-                                 images=train_images_thumbnails, labels=labels,
-                                 step=step)
+            for split, few in (("train", train_dataset_eval_few),
+                               ("test", test_dataset_eval_few)):
+                eval_few_custom(method, logger, few, split=split, step=step,
+                                evaluation_protocol=evaluation_protocol)
 
     eval_all(method, logger, test_dataset, split="test", step=step,
-             output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
-    if evaluation_protocol.get_name() == "nerfw":
-        eval_all(method, logger, train_dataset_eval_few, split="trainsubset", step=step,
-                 output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
-    else:
-        eval_all(method, logger, train_dataset, split="train", step=step,
-                 output=str(output_path), evaluation_protocol=evaluation_protocol, nb_info={})
-
+             output=str(output_path), evaluation_protocol=evaluation_protocol,
+             nb_info={})
+    # the NerfW protocol optimizes embeddings per camera; scoring the whole
+    # train split that way is too slow, so only its eval-few subset is used
+    train_eval = (train_dataset_eval_few, "trainsubset") \
+        if evaluation_protocol.get_name() == "nerfw" else (train_dataset, "train")
+    eval_all(method, logger, train_eval[0], split=train_eval[1], step=step,
+             output=str(output_path), evaluation_protocol=evaluation_protocol,
+             nb_info={})
     if step % 10_000 != 0:
-        path = output_path / f"checkpoint-{step}"
-        if path.exists():
-            shutil.rmtree(path)
-        method.save(str(path))
-        with open(path / "nb-info.json", "w", encoding="utf8") as f:
-            json.dump({"method": "wild-gaussians-tpu"}, f)
-        logger_py.info("checkpoint saved at step=%d", step)
+        save_checkpoint(step)
 
 
 if __name__ == "__main__":
