@@ -18,6 +18,53 @@ import time
 import numpy as np
 
 REFERENCE_MPIX_S = 50.0
+# deterministic synthetic-scene quality target (BENCH_MODE=quality):
+# vanilla-3DGS config on the generated scene reaches this PSNR in
+# BENCH_QUALITY_STEPS steps (recorded on CPU/TPU; regression signal until
+# real COLMAP data exists in the environment — VERDICT round-1 item 5)
+REFERENCE_QUALITY_PSNR = 30.0
+
+
+def quality_main():
+    """Train a deterministic synthetic scene and report PSNR."""
+    steps = int(os.environ.get("BENCH_QUALITY_STEPS", 2000))
+    n_points = int(os.environ.get("BENCH_QUALITY_POINTS", 20000))
+    width = int(os.environ.get("BENCH_QUALITY_WIDTH", 296))
+    height = int(os.environ.get("BENCH_QUALITY_HEIGHT", 200))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__ if "__file__" in globals() else "bench.py")), "tests"))
+    from test_training import _make_synthetic_dataset  # deterministic scene
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+
+    rng = np.random.default_rng(12345)
+    dataset, _scene = _make_synthetic_dataset(
+        rng, n_cams=12, width=width, height=height, n_points=n_points)
+    overrides = dict(
+        iterations=steps, appearance_enabled=False,
+        uncertainty_mode="disabled", num_sky_gaussians=0, sh_degree=2,
+        densify_from_iter=300, densification_interval=150,
+        densify_until_iter=int(steps * 0.8),
+        opacity_reset_interval=1200, position_lr_max_steps=steps,
+    )
+    method = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    t0 = time.perf_counter()
+    psnr = float("nan")
+    for s in range(steps):
+        metrics = method.train_iteration(s)
+        psnr = metrics["psnr"]
+        if (s + 1) % 200 == 0:
+            print(f"# step {s + 1}: psnr={psnr:.2f} "
+                  f"n={metrics['num_gaussians']}", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    result = {
+        "metric": f"synthetic-scene PSNR @{steps} steps (vanilla 3DGS)",
+        "value": round(psnr, 3),
+        "unit": "dB",
+        "vs_baseline": round(psnr / REFERENCE_QUALITY_PSNR, 4),
+    }
+    print(json.dumps(result))
+    print(f"# trained {steps} steps in {dt:.0f}s "
+          f"({dt / steps * 1e3:.0f} ms/step)", file=sys.stderr)
 
 
 def main():
@@ -70,10 +117,8 @@ def main():
     args = tuple(map(jnp.asarray, (xyz, scales, q, opac, colors)))
 
     d_max = int(os.environ.get("BENCH_DMAX", 10))
-    # flat slot layout (no big-Gaussian tier) is fastest at small d_max: the
-    # radix-partition path then needs no rank-merge passes
-    d_small = int(os.environ.get("BENCH_DSMALL", d_max))
-    binning = os.environ.get("BENCH_BINNING", "partition")
+    d_small = int(os.environ.get("BENCH_DSMALL", 6))
+    binning = os.environ.get("BENCH_BINNING", "sort")
 
     def loss_fn(xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
@@ -109,4 +154,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "quality":
+        quality_main()
+    else:
+        main()

@@ -13,7 +13,11 @@ def _args(scene):
                  for k in ("xyz", "scales", "rotations", "opacities", "colors"))
 
 
-def test_pallas_matches_tiled_forward(rng):
+import pytest
+
+
+@pytest.mark.parametrize("binning", ["sort", "partition", "gather"])
+def test_pallas_matches_tiled_forward(rng, binning):
     scene = make_scene(rng, n=200)
     cam = make_camera(width=48, height=32)
     import wildgaussians_tpu.cameras as wc
@@ -21,7 +25,7 @@ def test_pallas_matches_tiled_forward(rng):
     ref = rasterize_gaussians(*_args(scene), params, w, h, kernel_size=0.1,
                               backend="tiled")
     got = rasterize_gaussians(*_args(scene), params, w, h, kernel_size=0.1,
-                              backend="pallas")
+                              backend="pallas", binning=binning)
     np.testing.assert_allclose(np.asarray(got.color), np.asarray(ref.color),
                                atol=5e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(got.final_T), np.asarray(ref.final_T),
@@ -98,8 +102,10 @@ def test_training_with_pallas_backend(rng):
     assert metrics[-1]["psnr"] > metrics[0]["psnr"] - 1.0
 
 
-def test_pallas_two_tier_big_gaussians(rng):
-    """Scenes with huge-footprint gaussians exercise the deep slot tier."""
+@pytest.mark.parametrize("binning", ["sort", "partition"])
+def test_pallas_two_tier_big_gaussians(rng, binning):
+    """Scenes with huge-footprint gaussians exercise the deep slot tier
+    (and, for the partition path, the rank-merge chain)."""
     import wildgaussians_tpu.cameras as wc
     scene = make_scene(rng, n=80)
     # inflate some gaussians to cover many tiles (sky-like)
@@ -110,7 +116,8 @@ def test_pallas_two_tier_big_gaussians(rng):
     ref = rasterize_gaussians(*args, params, w, h, kernel_size=0.1,
                               backend="tiled", max_tiles_per_gaussian=24)
     got = rasterize_gaussians(*args, params, w, h, kernel_size=0.1,
-                              backend="pallas", max_tiles_per_gaussian=24)
+                              backend="pallas", max_tiles_per_gaussian=24,
+                              binning=binning)
     np.testing.assert_allclose(np.asarray(got.color), np.asarray(ref.color),
                                atol=5e-3, rtol=1e-3)
 
@@ -118,7 +125,8 @@ def test_pallas_two_tier_big_gaussians(rng):
 
     def loss(backend, *a):
         out = rasterize_gaussians(*a, params, w, h, kernel_size=0.1,
-                                  backend=backend, max_tiles_per_gaussian=24)
+                                  backend=backend, max_tiles_per_gaussian=24,
+                                  binning=binning)
         return jnp.mean((out.color - target) ** 2)
 
     g_ref = jax.grad(lambda *a: loss("tiled", *a), argnums=(0, 4))(*args)

@@ -116,9 +116,11 @@ class Config:
     # max_tiles_per_gaussian for big-footprint Gaussians (sky etc.).
     pallas_d_small: int = 6
     pallas_big_fraction: float = 0.125
-    # Entry binning inside the pallas backend: "partition" (radix partition
-    # engine, production) or "sort" (single wide lax.sort, kept for A/B)
-    pallas_binning: str = "partition"
+    # Entry binning inside the pallas backend: "sort" (one wide lax.sort —
+    # fastest measured single-chip path) or "partition" (the radix engine;
+    # forced automatically under a device mesh, where it is the only
+    # shard-capable path)
+    pallas_binning: str = "sort"
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

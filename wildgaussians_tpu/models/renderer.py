@@ -128,7 +128,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             d_small=getattr(config, "pallas_d_small", 6),
             big_fraction=getattr(config, "pallas_big_fraction", 0.125),
-            binning=getattr(config, "pallas_binning", "partition"),
+            binning=getattr(config, "pallas_binning", "sort"),
             mesh=current_mesh())
         results = dict(zip([tag for tag, _c in passes], outs))
     else:

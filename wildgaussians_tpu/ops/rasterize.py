@@ -71,7 +71,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         sort_mode: str = "quantized",
                         d_small: int = 6,
                         big_fraction: float = 0.125,
-                        binning: str = "partition",
+                        binning: str = "sort",
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the

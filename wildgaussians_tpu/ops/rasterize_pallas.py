@@ -80,8 +80,11 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0):
     use = em & (power <= 0.0) & (alpha >= ALPHA_MIN)
     l = jnp.where(use, jnp.log1p(-jnp.where(use, alpha, 0.0)), 0.0)
     S = jnp.dot(l, triu, preferred_element_type=jnp.float32)   # inclusive
-    t_at = t_carry * jnp.exp(S - l)                            # exclusive
-    alive = t_carry * jnp.exp(S) >= T_EPS
+    # exclusive transmittance via exp(S)/(1-alpha): one [P,K] exp + a divide
+    # instead of two exps (transcendentals dominate the VPU cost here)
+    t_inc = t_carry * jnp.exp(S)
+    t_at = t_inc / jnp.where(use, 1.0 - alpha, 1.0)
+    alive = t_inc >= T_EPS
     contrib = use & alive & (stopped_f < 0.5)
     w = jnp.where(contrib, alpha * t_at, 0.0)
     new_t = t_carry * jnp.exp(
@@ -563,13 +566,33 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         all_rows = [geo_rows[j] for j in range(8)]
         for cr in color_rows:
             all_rows += [cr[0], cr[1], cr[2]]
-        unsorted = jax.lax.sort(
-            (sorted_flat,) + tuple(jnp.where(covered, r, 0.0)
-                                   for r in all_rows),
-            num_keys=1)
+        all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
+        # the un-sort's cost scales with payload rows: pack f16 PAIRS into
+        # u32 payloads (sort moves payloads bit-exactly; the ~0.05% f16
+        # rounding only touches per-entry gradients that are then summed)
+        if len(all_rows) % 2:
+            all_rows.append(jnp.zeros((R,), jnp.float32))
+
+        def pack2(a, b):
+            ab = jax.lax.bitcast_convert_type(
+                a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            bb = jax.lax.bitcast_convert_type(
+                b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            return (ab << 16) | bb
+
+        packed = [pack2(all_rows[2 * i], all_rows[2 * i + 1])
+                  for i in range(len(all_rows) // 2)]
+        unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1)
+        unsorted = [None] * (1 + len(all_rows))
+
+        def _unpack(i):
+            word = unsorted_packed[1 + i // 2]
+            half = (word >> 16) if i % 2 == 0 else (word & jnp.uint32(0xFFFF))
+            return jax.lax.bitcast_convert_type(
+                half.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
 
         def slot_sum(i):
-            row = unsorted[1 + i]
+            row = _unpack(i)
             out = row[:slots1].reshape(n, d1).sum(axis=1)
             if m_cap > 0:
                 big = row[slots1:slots1 + slots2].reshape(
@@ -1003,13 +1026,185 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     return blend
 
 
+@functools.lru_cache(maxsize=32)
+def _make_gather_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
+                           n_passes: int = 1, d_small: int = 6,
+                           big_fraction: float = 0.125):
+    """Sort-2 + gather binning (v4, the CUDA-shaped pipeline).
+
+    One [tile | depth] key sort carries ONLY the slot index; the entry
+    table materializes via an XLA row-gather of the per-Gaussian attribute
+    matrix, and the backward reduces per-entry gradients with one batched
+    scatter-add by Gaussian id — no payload-laden sort and no un-sort.
+    This is exactly the reference CUDA decomposition (radix-sort keys +
+    per-entry fetch + atomicAdd, rasterizer_impl.cu:303-311,
+    backward.cu:568-603) expressed with XLA's sort/gather/scatter.
+    """
+    T_tiles = grid.num_tiles
+    d1 = min(d_small, d_max)
+    d2_extra = d_max - d1
+    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    slots1 = n * d1
+    slots2 = m_cap * d2_extra
+    R = slots1 + slots2
+    R_pad = ((R + K - 1) // K) * K + 2 * K
+    table_w = ((6 + 3 * n_passes + 7) // 8) * 8
+    calls = [_make_pallas_calls(grid, K, R_pad, table_w, 6 + 3 * i)
+             for i in range(n_passes)]
+
+    def _bin(mean2d, conic, opacity, colors_stack, depth, rect_min,
+             rect_max, tiles_touched, valid):
+        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+
+        def tile_of_cell(rmin, rw, cell):
+            ty = rmin[:, 1:2] + cell // rw[:, None]
+            tx = rmin[:, 0:1] + cell % rw[:, None]
+            return (ty * grid.grid_x + tx).astype(jnp.int32)
+
+        cells1 = jnp.arange(d1, dtype=jnp.int32)[None, :]
+        tile1 = tile_of_cell(rect_min, rect_w, cells1)
+        dup1 = (cells1 < tiles_touched[:, None]) & valid[:, None]
+        key1, depth_bits = _quantized_keys(tile1, depth, dup1, n, d1, T_tiles)
+        keys = [key1]
+        if m_cap > 0:
+            is_big = (tiles_touched > d1) & valid
+            rank = jnp.cumsum(is_big) - 1
+            ok = is_big & (rank < m_cap)
+            big_list = jnp.full((m_cap,), n, jnp.int32).at[
+                jnp.where(ok, rank, m_cap)].set(
+                    jnp.arange(n, dtype=jnp.int32), mode="drop")
+            bl = jnp.minimum(big_list, n - 1)
+            cells2 = d1 + jnp.arange(d2_extra, dtype=jnp.int32)[None, :]
+            tile2 = tile_of_cell(rect_min[bl], rect_w[bl], cells2)
+            dup2 = (cells2 < tiles_touched[bl][:, None]) & (big_list < n)[:, None]
+            key2, _db = _quantized_keys(tile2, depth[bl], dup2, m_cap,
+                                        d2_extra, T_tiles)
+            keys.append(key2)
+        else:
+            big_list = jnp.zeros((0,), jnp.int32)
+        key_all = jnp.concatenate(keys) if len(keys) > 1 else keys[0]
+
+        flat = jnp.arange(R, dtype=jnp.int32)
+        sorted_key, sorted_flat = jax.lax.sort((key_all, flat), num_keys=1)
+
+        # entry -> Gaussian id, then one row-gather builds the whole table
+        if m_cap > 0:
+            t2row = jnp.clip((sorted_flat - slots1) // d2_extra, 0, m_cap - 1)
+            gid = jnp.where(sorted_flat < slots1, sorted_flat // d1,
+                            big_list[t2row])
+        else:
+            gid = sorted_flat // d1
+        gid = jnp.minimum(gid, n)          # invalid slots -> zero column
+        acols = [mean2d[:, 0], mean2d[:, 1], conic[:, 0], conic[:, 1],
+                 conic[:, 2], opacity]
+        for i in range(n_passes):
+            acols += [colors_stack[i, :, 0], colors_stack[i, :, 1],
+                      colors_stack[i, :, 2]]
+        A = jnp.stack([jnp.concatenate([c, jnp.zeros((1,), jnp.float32)])
+                       for c in acols])                       # [w, n+1]
+        table = A[:, gid]                                    # [w, R] gather
+        table = jnp.concatenate(
+            [table, jnp.zeros((table_w - table.shape[0], R), jnp.float32)],
+            axis=0)
+        table = jnp.concatenate(
+            [table, jnp.zeros((table_w, R_pad - R), jnp.float32)], axis=1)
+
+        bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32)
+                  << jnp.uint32(depth_bits))
+        starts = jnp.searchsorted(sorted_key, bounds,
+                                  side="left").astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        return table, gid, starts, counts
+
+    def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                rect_max, tiles_touched, valid, bg):
+        table, gid, starts, counts = _bin(
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
+            tiles_touched, valid)
+        zb = jnp.zeros((1,), jnp.int32)
+        Cs, Ts = [], []
+        for i in range(n_passes):
+            (pack,) = calls[i][0](zb, starts, counts, table)
+            final_t = pack[:, :, 3]
+            Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
+            Ts.append(final_t)
+        return jnp.stack(Cs), jnp.stack(Ts), table, gid, starts, counts
+
+    @jax.custom_vjp
+    def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+              depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        out = forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                      rect_max, tiles_touched, valid, bg)
+        return out[0], out[1]
+
+    def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+            depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        C, T, table, gid, starts, counts = forward(
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
+            tiles_touched, valid, bg)
+        return (C, T), (table, gid, starts, counts, bg, C, T)
+
+    def bwd(res, cot):
+        table, gid, starts, counts, bg, C_out, final_t = res
+        gC, gT = cot
+
+        geo_rows = None
+        color_rows = []
+        dbg = jnp.zeros((3,), jnp.float32)
+        for i in range(n_passes):
+            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
+            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                        precision=_HIGH)
+            cot_pack = jnp.concatenate(
+                [gC[i], gt_eff[..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            fwd_pack = jnp.concatenate(
+                [out_nobg, final_t[i][..., None],
+                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
+            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), starts, counts,
+                                table, cot_pack, fwd_pack)
+            g_geo = jnp.concatenate([eg[0:6, :R], eg[9:11, :R]], axis=0)
+            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+            color_rows.append(eg[6:9, :R])
+            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
+                                   precision=_HIGH)
+
+        rows = [geo_rows[j] for j in range(8)]
+        for cr in color_rows:
+            rows += [cr[0], cr[1], cr[2]]
+        gtab = jnp.stack(rows)                               # [8+3np, R]
+        covered = (jnp.arange(R, dtype=jnp.int32) < starts[T_tiles])[None, :]
+        gtab = jnp.where(covered, gtab, 0.0)
+        # one batched deterministic scatter-add replaces backward.cu's
+        # per-Gaussian atomicAdd (backward.cu:568-603)
+        acc = jnp.zeros((gtab.shape[0], n + 1), jnp.float32
+                        ).at[:, gid].add(gtab)[:, :n]
+
+        dmean2d = jnp.stack([acc[0], acc[1]], axis=1)
+        dconic = jnp.stack([acc[2], acc[3], acc[4]], axis=1)
+        dop = acc[5]
+        dabs = jnp.stack([acc[6], acc[7]], axis=1)
+        dcolors = jnp.stack(
+            [jnp.stack([acc[8 + 3 * i + c] for c in range(3)], axis=1)
+             for i in range(n_passes)])
+        d_depth = jnp.zeros((n,), jnp.float32)
+        zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
+        return (dmean2d, dconic, dop, dcolors, dabs, dbg,
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
+
+    blend.defvjp(fwd, bwd)
+    return blend
+
+
 def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            pre_depth, pre_rect_min, pre_rect_max,
                            pre_tiles_touched, pre_valid, bg, *,
                            grid: TileGrid, chunk: int = 256,
                            max_tiles_per_gaussian: int = 16,
                            d_small: int = 6, big_fraction: float = 0.125,
-                           binning: str = "partition", mesh=None,
+                           binning: str = "sort", mesh=None,
                            mesh_axis: str = "tiles"):
     """Render several color sets over one shared sorted geometry.
 
@@ -1020,11 +1215,17 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     contiguous tile ranges (one per device) and psums Gaussian gradients.
     """
     n = mean2d.shape[0]
+    if mesh is not None:
+        binning = "partition"   # the only shard-capable binning
     if binning == "partition":
         blend = _make_partition_blend_vjp(
             grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
             d_small, big_fraction, mesh,
             mesh_axis if mesh is not None else "tiles")
+    elif binning == "gather":
+        blend = _make_gather_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
+                                       len(colors_list), d_small,
+                                       big_fraction)
     else:
         blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
                                        len(colors_list), d_small,
@@ -1043,7 +1244,7 @@ def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
                      max_tiles_per_gaussian: int = 16,
                      d_small: int = 6, big_fraction: float = 0.125,
-                     binning: str = "partition"):
+                     binning: str = "sort"):
     """Single-pass wrapper around rasterize_pallas_multi."""
     (out,) = rasterize_pallas_multi(
         mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
