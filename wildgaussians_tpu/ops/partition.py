@@ -206,51 +206,84 @@ def _pass_kernel(bases_ref, in_hbm, out_hbm,
                 in_dma(c + 1, 1 - slot).start()
 
             chunk = ibuf[slot]                                # [rows, E]
-            P_row, counts, runs = chunk_perm(
-                chunk[key_row:key_row + 1, :], p, B, E)
-            grouped = _apply_perm(chunk, P_row)
-            lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, E2), 1)
+            # fast path: a pure-sentinel chunk (the slot-padding pool after
+            # pass 0 concentrates into one long run) carries no payload that
+            # is ever read back — skip the permutation and ring entirely and
+            # emit a sentinel block at the bucket-(B-1) cursor
+            all_sent = jnp.min(chunk[key_row, :]) >= float(sentinel)
+            fast = all_sent & (fill_s[B - 1] == 0)
 
-            for b in range(B):
-                cb = counts[b].astype(jnp.int32)
+            @pl.when(fast)
+            def _():
+                @pl.when(oflag_s[B - 1] == 1)
+                def _():
+                    pltpu.make_async_copy(
+                        fbuf.at[B - 1],
+                        out_hbm.at[:, pl.ds(
+                            pl.multiple_of(cursor_s[B - 1] - E, 128), E)],
+                        fsem.at[B - 1]).wait()
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, E), 0)
+                fbuf[B - 1] = jnp.where(rowi == key_row, float(sentinel), 0.0)
+                pltpu.make_async_copy(
+                    fbuf.at[B - 1],
+                    out_hbm.at[:, pl.ds(
+                        pl.multiple_of(cursor_s[B - 1], 128), E)],
+                    fsem.at[B - 1]).start()
+                oflag_s[B - 1] = 1
+                cursor_s[B - 1] = cursor_s[B - 1] + E
 
-                @pl.when(cb > 0)
-                def _(b=b, cb=cb):
-                    run_b = runs[b].astype(jnp.int32)
-                    fill = fill_s[b]
-                    rbase = rbase_s[b]
-                    blk = _roll(grouped, jax.lax.rem(E - run_b, E), axis=1,
-                                interpret=interpret)          # run at [0,cb)
-                    cand = jnp.concatenate([blk, blk], axis=1)  # [rows, 2E]
-                    pos = jax.lax.rem(rbase + fill, E2)
-                    placed = _roll(cand, pos, axis=1, interpret=interpret)
-                    rel = jax.lax.rem(lane2 - pos + E2, E2)
-                    stage[b] = jnp.where(rel < cb, placed, stage[b])
-                    new_fill = fill + cb
-                    fill_s[b] = new_fill
-
-                    @pl.when(new_fill >= E)
-                    def _():
-                        @pl.when(oflag_s[b] == 1)
-                        def _():
-                            pltpu.make_async_copy(
-                                fbuf.at[b],
-                                out_hbm.at[:, pl.ds(
-                                    pl.multiple_of(cursor_s[b] - E, 128), E)],
-                                fsem.at[b]).wait()
-                        front = _roll(stage[b],
-                                      jax.lax.rem(E2 - rbase, E2), axis=1,
-                                      interpret=interpret)[:, :E]
-                        fbuf[b] = front
-                        cur = pl.multiple_of(cursor_s[b], 128)
-                        pltpu.make_async_copy(
-                            fbuf.at[b], out_hbm.at[:, pl.ds(cur, E)],
-                            fsem.at[b]).start()
-                        oflag_s[b] = 1
-                        cursor_s[b] = cur + E
-                        rbase_s[b] = jax.lax.rem(rbase + E, E2)
-                        fill_s[b] = new_fill - E
+            @pl.when(jnp.logical_not(fast))
+            def _():
+                process_chunk(chunk)
         return 0
+
+    def process_chunk(chunk):
+        P_row, counts, runs = chunk_perm(
+            chunk[key_row:key_row + 1, :], p, B, E)
+        grouped = _apply_perm(chunk, P_row)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, E2), 1)
+
+        for b in range(B):
+            cb = counts[b].astype(jnp.int32)
+
+            @pl.when(cb > 0)
+            def _(b=b, cb=cb):
+                run_b = runs[b].astype(jnp.int32)
+                fill = fill_s[b]
+                rbase = rbase_s[b]
+                # ONE fused roll: entry at grouped lane run_b+i lands at
+                # ring lane (pos+i) mod 2E (cand duplicates grouped, so
+                # (lane - sh) mod 2E always reads grouped[(..) mod E])
+                cand = jnp.concatenate([grouped, grouped], axis=1)
+                pos = jax.lax.rem(rbase + fill, E2)
+                sh = jax.lax.rem(pos - run_b + E2, E2)
+                placed = _roll(cand, sh, axis=1, interpret=interpret)
+                rel = jax.lax.rem(lane2 - pos + E2, E2)
+                stage[b] = jnp.where(rel < cb, placed, stage[b])
+                new_fill = fill + cb
+                fill_s[b] = new_fill
+
+                @pl.when(new_fill >= E)
+                def _():
+                    @pl.when(oflag_s[b] == 1)
+                    def _():
+                        pltpu.make_async_copy(
+                            fbuf.at[b],
+                            out_hbm.at[:, pl.ds(
+                                pl.multiple_of(cursor_s[b] - E, 128), E)],
+                            fsem.at[b]).wait()
+                    front = _roll(stage[b],
+                                  jax.lax.rem(E2 - rbase, E2), axis=1,
+                                  interpret=interpret)[:, :E]
+                    fbuf[b] = front
+                    cur = pl.multiple_of(cursor_s[b], 128)
+                    pltpu.make_async_copy(
+                        fbuf.at[b], out_hbm.at[:, pl.ds(cur, E)],
+                        fsem.at[b]).start()
+                    oflag_s[b] = 1
+                    cursor_s[b] = cur + E
+                    rbase_s[b] = jax.lax.rem(rbase + E, E2)
+                    fill_s[b] = new_fill - E
 
     jax.lax.fori_loop(0, CPB, body, 0)
 
@@ -343,7 +376,7 @@ def _make_pass_call(rows, R_in, R_out, E, B, p, sentinel, CPB, interpret,
 def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
                      kbuf, ksem, rstage, rbuf, rsem, abuf, obuf, osem,
                      avail_s, rbase_s, cursor_s, inflight_s,
-                     *, grows, E, B, p, n_chunks, CPB, interpret):
+                     *, grows, E, B, p, n_chunks, CPB, sentinel, interpret):
     pid = pl.program_id(0)
     n_super = pl.num_programs(0)
     E2 = 2 * E
@@ -386,61 +419,92 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
         @pl.when(c < n_chunks)
         def _():
             kc = kbuf[kslot, pl.ds(j, 1), :]                   # [1, E]
-            P_row, counts, runs = chunk_perm(kc, p, B, E)
-            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, E2), 1)
-            abuf[...] = jnp.zeros((grows, E), jnp.float32)
 
-            for b in range(B):
-                cb = counts[b].astype(jnp.int32)
-
-                @pl.when(cb > 0)
-                def _(b=b, cb=cb):
-                    @pl.when(avail_s[b] < cb)
-                    def _():
-                        refill_dma(b, cursor_s[b]).wait()
-                        rb = rbase_s[b]
-                        av = avail_s[b]
-                        pos = jax.lax.rem(rb + av, E2)
-                        cand = jnp.concatenate([rbuf[b], rbuf[b]], axis=1)
-                        placed = _roll(cand, pos, axis=1, interpret=interpret)
-                        rel = jax.lax.rem(lane2 - pos + E2, E2)
-                        rstage[b] = jnp.where(rel < E, placed, rstage[b])
-                        avail_s[b] = av + E
-                        cur = cursor_s[b] + E
-                        cursor_s[b] = cur
-                        inflight_s[b] = 0
-
-                        @pl.when(cur < bases_ref[b + 1])
-                        def _():
-                            refill_dma(b, cur).start()
-                            inflight_s[b] = 1
-
+            def ensure(b, need):
+                @pl.when(avail_s[b] < need)
+                def _():
+                    refill_dma(b, cursor_s[b]).wait()
                     rb = rbase_s[b]
-                    ext = _roll(rstage[b], jax.lax.rem(E2 - rb, E2), axis=1,
-                                interpret=interpret)[:, :E]
-                    run_b = runs[b].astype(jnp.int32)
-                    placed = _roll(ext, run_b, axis=1, interpret=interpret)
-                    rel = jax.lax.rem(lane1 - run_b + E, E)
-                    abuf[...] = jnp.where(rel < cb, placed, abuf[...])
-                    rbase_s[b] = jax.lax.rem(rb + cb, E2)
-                    avail_s[b] = avail_s[b] - cb
+                    av = avail_s[b]
+                    pos = jax.lax.rem(rb + av, E2)
+                    cand = jnp.concatenate([rbuf[b], rbuf[b]], axis=1)
+                    placed = _roll(cand, pos, axis=1, interpret=interpret)
+                    rel = jax.lax.rem(lane2 - pos + E2, E2)
+                    rstage[b] = jnp.where(rel < E, placed, rstage[b])
+                    avail_s[b] = av + E
+                    cur = cursor_s[b] + E
+                    cursor_s[b] = cur
+                    inflight_s[b] = 0
 
-            out_chunk = _apply_perm_inv(abuf[...], P_row)
-            oslot = jax.lax.rem(c, 2)
+                    @pl.when(cur < bases_ref[b + 1])
+                    def _():
+                        refill_dma(b, cur).start()
+                        inflight_s[b] = 1
 
-            @pl.when(c >= 2)
+            # fast path: a pure-hole chunk's values are never consumed —
+            # advance the bucket-(B-1) stream positionally, skip assembly
+            # and un-permute, and emit zeros (hole gradients must read as
+            # zero downstream: the final pass feeds per-slot sums, and NaN
+            # would poison later passes' exact one-hot matmuls via 0*NaN)
+            all_sent = jnp.min(kc) >= float(sentinel)
+
+            @pl.when(all_sent)
             def _():
-                pltpu.make_async_copy(
-                    obuf.at[oslot],
-                    gout_hbm.at[:, pl.ds(pl.multiple_of((c - 2) * E, 128), E)],
-                    osem.at[oslot]).wait()
-            obuf[oslot] = out_chunk
+                ensure(B - 1, E)
+                rbase_s[B - 1] = jax.lax.rem(rbase_s[B - 1] + E, E2)
+                avail_s[B - 1] = avail_s[B - 1] - E
+                write_chunk(c, jnp.zeros((grows, E), jnp.float32))
+
+            @pl.when(jnp.logical_not(all_sent))
+            def _():
+                process_chunk(c, kc, ensure)
+        return 0
+
+    def write_chunk(c, out_chunk):
+        oslot = jax.lax.rem(c, 2)
+
+        @pl.when(c >= 2)
+        def _():
             pltpu.make_async_copy(
                 obuf.at[oslot],
-                gout_hbm.at[:, pl.ds(pl.multiple_of(c * E, 128), E)],
-                osem.at[oslot]).start()
-        return 0
+                gout_hbm.at[:, pl.ds(pl.multiple_of((c - 2) * E, 128), E)],
+                osem.at[oslot]).wait()
+        obuf[oslot] = out_chunk
+        pltpu.make_async_copy(
+            obuf.at[oslot],
+            gout_hbm.at[:, pl.ds(pl.multiple_of(c * E, 128), E)],
+            osem.at[oslot]).start()
+
+    def process_chunk(c, kc, ensure):
+        P_row, counts, runs = chunk_perm(kc, p, B, E)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
+        abuf[...] = jnp.zeros((grows, E), jnp.float32)
+
+        for b in range(B):
+            cb = counts[b].astype(jnp.int32)
+
+            @pl.when(cb > 0)
+            def _(b=b, cb=cb):
+                ensure(b, cb)
+                rb = rbase_s[b]
+                run_b = runs[b].astype(jnp.int32)
+                # ONE fused roll: ring lane (rb+i) mod 2E lands at assembly
+                # lane run_b+i
+                sh = jax.lax.rem(run_b - rb + E2, E2)
+                placed = _roll(rstage[b], sh, axis=1,
+                               interpret=interpret)[:, :E]
+                rel = jax.lax.rem(lane1 - run_b + E, E)
+                abuf[...] = jnp.where(rel < cb, placed, abuf[...])
+                rbase_s[b] = jax.lax.rem(rb + cb, E2)
+                avail_s[b] = avail_s[b] - cb
+
+        # zero hole lanes BEFORE the un-permute: their pulled values may be
+        # garbage (mixed chunks select earlier passes' hole entries) and
+        # 0 * NaN would poison the exact matmul
+        gk = _apply_perm(kc, P_row)                    # [1, E] grouped keys
+        cleaned = jnp.where(gk >= float(sentinel), 0.0, abuf[...])
+        write_chunk(c, _apply_perm_inv(cleaned, P_row))
 
     jax.lax.fori_loop(0, CPB, body, 0)
 
@@ -462,12 +526,14 @@ def _inv_pass_kernel(bases_ref, keys_hbm, gin_hbm, gout_hbm,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_inv_pass_call(grows, R_in, R_out, E, B, p, CPB, interpret):
+def _make_inv_pass_call(grows, R_in, R_out, E, B, p, CPB, sentinel,
+                        interpret):
     n_chunks = R_in // E
     n_super = (n_chunks + CPB - 1) // CPB
     return pl.pallas_call(
         functools.partial(_inv_pass_kernel, grows=grows, E=E, B=B, p=p,
-                          n_chunks=n_chunks, CPB=CPB, interpret=interpret),
+                          n_chunks=n_chunks, CPB=CPB, sentinel=sentinel,
+                          interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_super,),
@@ -594,6 +660,6 @@ def radix_unpartition(gtable, meta: PartitionMeta, *, CPB: int = 8,
             kmat = jnp.concatenate(
                 [kmat, jnp.zeros((pad_rows, E), kmat.dtype)], axis=0)
         call = _make_inv_pass_call(grows, R_in, R_in + B * E, E, B, p, CPB,
-                                   interpret)
+                                   meta.keyspace - 1, interpret)
         (cur,) = call(meta.bases[p], kmat, cur)
     return cur

@@ -210,9 +210,11 @@ _CONFIG_OVERRIDES = {
               type=SetParamOptionType(), multiple=True, default=None)
 @click.option("--profile", "profile_dir", type=str, default=None,
               help="Capture a jax.profiler trace of steps 20-40 to this dir.")
+@click.option("--resume", is_flag=True,
+              help="Resume from the latest checkpoint-* in --output.")
 def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
                   config_overrides=None, debug=False, logger_backend="both",
-                  profile_dir=None):
+                  profile_dir=None, resume=False):
     if debug:
         # NOTE: jax_debug_nans (the set_detect_anomaly analogue,
         # reference train.py:226-232) is intentionally NOT enabled: the
@@ -264,8 +266,18 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
     train_dataset_eval_few = datasets.dataset_index_select(train_dataset, list(range(n_few)))
     test_dataset_eval_few = datasets.dataset_index_select(test_dataset, list(range(n_few)))
 
-    method = WildGaussians(checkpoint=None, train_dataset=train_dataset,
-                           config_overrides=config_overrides)
+    checkpoint = None
+    if resume:
+        found = sorted(Path(output).glob("checkpoint-*"),
+                       key=lambda p: int(p.name.split("-")[1]))
+        if found:
+            checkpoint = str(found[-1])
+            logger_py.info("Resuming from %s", checkpoint)
+        else:
+            logger_py.warning("--resume given but no checkpoint-* in %s",
+                              output)
+    method = WildGaussians(checkpoint=checkpoint, train_dataset=train_dataset,
+                           config_overrides=None if checkpoint else config_overrides)
     info = method.get_info()
 
     loggers = []
@@ -298,9 +310,9 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
 
     acc_metrics = MetricsAccumulator()
     num_iterations = info["num_iterations"]
-    step = 0
-    pbar = tqdm(range(num_iterations), miniters=10, desc="training",
-                disable=debug)
+    step = start_step = info.get("loaded_step") or 0
+    pbar = tqdm(range(start_step, num_iterations), miniters=10,
+                desc="training", disable=debug)
     for step in pbar:
         if profile_dir is not None and step == 20:
             import jax
