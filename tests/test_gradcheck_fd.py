@@ -17,9 +17,13 @@ from helpers import make_camera, make_scene
 
 def _loss_fn(params, w, h, target, backend):
     def loss(xyz, scales, rots, opac, colors):
+        # pack16=False: finite differences need the exact (non-f16-quantized)
+        # payload path — central differences smaller than the quantization
+        # step would otherwise measure rounding noise, not the derivative
         out = rasterize_gaussians(xyz, scales, rots, opac, colors,
                                   params, w, h, kernel_size=0.1,
-                                  backend=backend, sort_mode="exact")
+                                  backend=backend, sort_mode="exact",
+                                  pack16=False)
         return jnp.mean((out.color - target) ** 2)
     return loss
 

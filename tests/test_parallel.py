@@ -96,9 +96,12 @@ def test_sharded_pallas_partition_matches_single(rng):
     bg = jnp.zeros((3,), jnp.float32)
 
     def loss(mesh, m2d, con, op, col):
+        # pin the single-device baseline to the same (exact-payload)
+        # partition binning the mesh path forces — the default sort binning
+        # carries f16-packed payloads and differs by quantization noise
         ((img, _t),) = rasterize_pallas_multi(
             m2d, con, op, [col], jnp.zeros((n, 2)), *geo, bg, grid=grid,
-            max_tiles_per_gaussian=16, mesh=mesh)
+            max_tiles_per_gaussian=16, mesh=mesh, binning="partition")
         return jnp.mean((img - target) ** 2)
 
     args = (pre.mean2d, pre.conic, pre.opacity, colors)

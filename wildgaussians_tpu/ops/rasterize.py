@@ -72,6 +72,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         d_small: int = 6,
                         big_fraction: float = 0.125,
                         binning: str = "sort",
+                        pack16: bool = True,
                         scale_modifier: float = 1.0) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
@@ -116,7 +117,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
             colors, absgrad_hook, pre.depth, pre.rect_min, pre.rect_max,
             pre.tiles_touched, pre.valid, bg, grid=grid, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            d_small=d_small, big_fraction=big_fraction, binning=binning)
+            d_small=d_small, big_fraction=big_fraction, binning=binning,
+            pack16=pack16)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)

@@ -23,8 +23,19 @@ Two binning strategies feed these kernels:
   - "sort" (_make_pallas_blend_vjp, kept for A/B): one wide lax.sort with
     attributes as payloads; the backward re-sorts gradients by slot index.
 
-Entry table layout [16, R] f32: optional key rows (partition path), then
-rows x, y, conic_a, conic_b, conic_c, opacity, r, g, b per color pass.
+Entry table layouts (f32-typed; u32 rows ride as bit patterns):
+  - packed (sort path, pack16=True, production): row 0 = f16 pair
+    (x_rel, y_rel) wrt the entry's tile origin, rows 1-3 conic f32, then per
+    color pass two f16-pair rows (r,g) and (b, opacity|unused). f16 keeps
+    relative precision, which matches conic's 1/sigma^2 scaling: blend-power
+    error stays ~1e-3 across footprint sizes, and the sort moves 8 rows
+    instead of 11.
+  - unpacked (pack16=False exact-parity mode; partition/gather paths, with
+    optional leading key rows): x, y, conic_a, conic_b, conic_c, opacity,
+    then r, g, b per color pass.
+Slot layout is CELL-MAJOR: tier-1 slot (cell j, gaussian g) = j * n + g, so
+payload expansion is a leading-axis broadcast (no relayout) and the backward
+slot reduction reshape is layout-free.
 Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabsx, dabsy.
 Forward output is packed [T, 256, 8]: cols 0..2 = rgb, col 3 = final_T.
 """
@@ -44,6 +55,64 @@ ATTR_W = 16
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _f16_bits(x):
+    """f32 -> f16 bit pattern (low 16 of a u32), round-to-nearest-even,
+    subnormals preserved, overflow saturated to f16 max.
+
+    Pure 32-bit integer ops: XLA TPU lowers 16-bit dtype conversions to
+    per-row relayout loops (~0.8 ms per 1.5M-row at bench scale, measured);
+    this fuses into neighbouring elementwise work instead.
+
+    Subnormal support is load-bearing: the backward un-sort packs per-ENTRY
+    gradients, whose magnitudes routinely sit in f16's subnormal range
+    [2^-24, 2^-14); flushing them loses up to 25% of a summed per-Gaussian
+    gradient (measured on the FD-gradcheck scene). For |x| <= 2^-14 the f16
+    encoding is exactly round(|x| * 2^24), which also covers the
+    subnormal->normal boundary."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (b >> 16) & jnp.uint32(0x8000)
+    absb = b & jnp.uint32(0x7FFFFFFF)
+    lsb = (absb >> 13) & jnp.uint32(1)
+    r = absb + jnp.uint32(0xFFF) + lsb
+    exp = r >> 23
+    h = ((r - jnp.uint32(112 << 23)) >> 13) & jnp.uint32(0x7FFF)
+    sub = jax.lax.round(
+        jax.lax.abs(x) * 16777216.0,
+        jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(jnp.uint32)
+    h = jnp.where(exp < 113, sub,
+                  jnp.where(exp > 142, jnp.uint32(0x7BFF), h))
+    return sign | h
+
+
+def _pack2_f16(hi, lo):
+    """Pack two f32 rows into one u32 row of f16 pairs (XLA level)."""
+    return (_f16_bits(hi) << 16) | _f16_bits(lo)
+
+
+def _f16_bits_to_f32(h):
+    """Decode f16 bits (low 16 of a u32 vector) to f32 inside a kernel.
+
+    Mosaic has no 16-bit vector bitcasts, so widen manually: f32 exponent =
+    f16 exponent + 112. Subnormals decode exactly as mant * 2^-24 (see
+    _f16_bits for why they matter); inf/nan bit patterns decode to large
+    finite floats (harmless: they only occur on masked lanes)."""
+    sign = (h & jnp.uint32(0x8000)) << 16
+    expmant = h & jnp.uint32(0x7FFF)
+    bits = sign | ((expmant + jnp.uint32(112 << 10)) << 13)
+    val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    # s32->f32 convert (expmant < 2^15 so the signed cast is exact); u32
+    # converts are less uniformly supported in Mosaic
+    sub = expmant.astype(jnp.int32).astype(jnp.float32) * (2.0 ** -24)
+    sub = jnp.where(sign > 0, -sub, sub)
+    return jnp.where(expmant < jnp.uint32(0x0400), sub, val)
+
+
+def _unpack_row(entries, r):
+    """Split packed row r of an f32-typed table into (hi, lo) f32 rows."""
+    w = jax.lax.bitcast_convert_type(entries[r:r + 1, :], jnp.uint32)
+    return _f16_bits_to_f32(w >> 16), _f16_bits_to_f32(w & jnp.uint32(0xFFFF))
+
+
 def _triu(K):
     """Upper-triangular ones [K,K]: l @ triu = inclusive prefix along lanes."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
@@ -51,28 +120,42 @@ def _triu(K):
     return (rows <= cols).astype(jnp.float32)
 
 
-def _pixel_coords(grid: TileGrid, t):
+def _pixel_coords(grid: TileGrid, t, *, local=False):
+    """Pixel coordinates of tile t — absolute, or tile-local when the entry
+    table stores tile-relative means (packed layout)."""
     ts = grid.tile_size
+    ii = jax.lax.broadcasted_iota(jnp.int32, (P_PIX, 1), 0)
+    if local:
+        return (ii % ts).astype(jnp.float32), (ii // ts).astype(jnp.float32)
     ox = (t % grid.grid_x) * ts
     oy = (t // grid.grid_x) * ts
-    ii = jax.lax.broadcasted_iota(jnp.int32, (P_PIX, 1), 0)
     px = (ox + ii % ts).astype(jnp.float32)
     py = (oy + ii // ts).astype(jnp.float32)
     return px, py
 
 
-def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0):
+def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
+                    packed=False):
     """Forward recurrence for one chunk. entries [ATTR_W, K]; returns [P,K]
     tensors + per-pixel [P,1] carries. `stopped_f` is a 0/1 float mask
     (Mosaic cannot carry i1 vectors through scf.while). `a0` is the row of
     the first geometry attribute (1 for partition-built tables whose row 0
-    is the sort key)."""
-    x = entries[a0:a0 + 1, :]
-    y = entries[a0 + 1:a0 + 2, :]
-    ca = entries[a0 + 2:a0 + 3, :]
-    cb = entries[a0 + 3:a0 + 4, :]
-    cc = entries[a0 + 4:a0 + 5, :]
-    op = entries[a0 + 5:a0 + 6, :]
+    is the sort key). With `packed`, the table is the f16-pair layout (see
+    _sort_entries): row 0 = (x_rel, y_rel) wrt the tile origin (px/py must
+    then be tile-local), rows 1-3 conic f32, row 5 lo half = opacity."""
+    if packed:
+        x, y = _unpack_row(entries, 0)
+        ca = entries[1:2, :]
+        cb = entries[2:3, :]
+        cc = entries[3:4, :]
+        _b0, op = _unpack_row(entries, 5)
+    else:
+        x = entries[a0:a0 + 1, :]
+        y = entries[a0 + 1:a0 + 2, :]
+        ca = entries[a0 + 2:a0 + 3, :]
+        cb = entries[a0 + 3:a0 + 4, :]
+        cc = entries[a0 + 4:a0 + 5, :]
+        op = entries[a0 + 5:a0 + 6, :]
     dx = x - px                     # [P,K]
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -103,9 +186,18 @@ def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
         entries_hbm.at[:, pl.ds(off, K)], ebuf.at[slot], sem.at[slot])
 
 
+def _read_colors(entries, col0, packed):
+    if not packed:
+        return entries[col0:col0 + 3, :]
+    r, g = _unpack_row(entries, col0)
+    b, _ = _unpack_row(entries, col0 + 1)
+    return jnp.concatenate([r, g, b], axis=0)                    # [3,K]
+
+
 def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
                 ebuf, sem,
-                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0):
+                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0,
+                packed: bool = False):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -114,7 +206,7 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
     # foreign head/tail entries (they belong to neighbouring tiles)
     astart = (start // 128) * 128
     shift = start - astart
-    px, py = _pixel_coords(grid, gt)
+    px, py = _pixel_coords(grid, gt, local=packed)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
@@ -139,8 +231,9 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
         entries = ebuf[slot]
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
-        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0)
-        col = entries[col0:col0 + 3, :]                          # [3,K]
+        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0,
+                             packed)
+        col = _read_colors(entries, col0, packed)                # [3,K]
         color = color + jax.lax.dot_general(
             st["w"], col, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [P,3]
@@ -164,14 +257,15 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
 
 def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
-                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0):
+                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0,
+                packed: bool = False):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     gt = t + tbase_ref[0]      # global tile id (sharded: shard-local t)
     astart = (start // 128) * 128
     shift = start - astart
-    px, py = _pixel_coords(grid, gt)
+    px, py = _pixel_coords(grid, gt, local=packed)
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
@@ -209,10 +303,11 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
         entries = ebuf[slot]
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
-        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0)
+        st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0,
+                             packed)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
-        col = entries[col0:col0 + 3, :]                              # [3,K]
+        col = _read_colors(entries, col0, packed)                    # [3,K]
         cg = jnp.dot(gc, col, preferred_element_type=jnp.float32)    # [P,K]
         wcg = w * cg
         prefix = jnp.dot(wcg, triu, preferred_element_type=jnp.float32) + acc_dot
@@ -222,14 +317,19 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             st["contrib"],
             st["t_at"] * cg - (suffix + gt_eff * final_t) / one_m_a, 0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
-        op = entries[a0 + 5:a0 + 6, :]
+        if packed:
+            _b0, op = _unpack_row(entries, 5)
+            ca = entries[1:2, :]
+            cb = entries[2:3, :]
+            cc = entries[3:4, :]
+        else:
+            op = entries[a0 + 5:a0 + 6, :]
+            ca = entries[a0 + 2:a0 + 3, :]
+            cb = entries[a0 + 3:a0 + 4, :]
+            cc = entries[a0 + 4:a0 + 5, :]
         epow = jnp.where(use, alpha / jnp.where(use, op, 1.0), 0.0)
         dop = jnp.sum(dalpha_eff * epow, axis=0, keepdims=True)      # [1,K]
         dpower = dalpha_eff * alpha
-
-        ca = entries[a0 + 2:a0 + 3, :]
-        cb = entries[a0 + 3:a0 + 4, :]
-        cc = entries[a0 + 4:a0 + 5, :]
         dmx_pix = dpower * (-(ca * dx + cb * dy))
         dmy_pix = dpower * (-(cc * dy + cb * dx))
         # dcol [3,K]: contract the pixel axis
@@ -325,7 +425,7 @@ def _interpret() -> bool:
 @functools.lru_cache(maxsize=64)
 def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
                        table_w: int = ATTR_W, col0: int = 6, a0: int = 0,
-                       T_prog: int = 0):
+                       T_prog: int = 0, packed: bool = False):
     T_tiles = T_prog or grid.num_tiles   # programs (= tiles this call blends)
     interpret = _interpret()
 
@@ -336,7 +436,8 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     # that merge; the merge needs a redesign (e.g. per-tile private head
     # blocks + a second reduction) before the grid can ever be parallelized.
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0, a0=a0),
+        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
+                          packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T_tiles,),
@@ -354,7 +455,8 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0, a0=a0),
+        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
+                          packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T_tiles,),
@@ -393,10 +495,24 @@ def _quantized_keys(tile_flat, depth, dup_valid, n, d_max, num_tiles):
     return jnp.where(dup_valid.reshape(-1), key, jnp.uint32(0xFFFFFFFF)), depth_bits
 
 
+def _quantized_keys_t(tile_dm, depth, dup_dm, num_tiles):
+    """_quantized_keys over a cell-major [d, m] slot grid (depth is [m];
+    the depth-bit broadcast is a cheap leading-axis repeat)."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    dpos = jnp.maximum(depth, 0.0)
+    dbits = jax.lax.bitcast_convert_type(dpos, jnp.uint32) >> (31 - depth_bits)
+    dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
+    key = ((tile_dm.astype(jnp.uint32) << depth_bits)
+           | jnp.broadcast_to(dq[None, :], tile_dm.shape))
+    key = jnp.where(dup_dm, key, jnp.uint32(0xFFFFFFFF))
+    return key.reshape(-1), depth_bits
+
+
 @functools.lru_cache(maxsize=32)
 def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                            n_passes: int = 1, d_small: int = 6,
-                           big_fraction: float = 0.125):
+                           big_fraction: float = 0.125, pack16: bool = True):
     """Sort-centric pallas rasterizer (v2), multi-pass capable.
 
     Binning, chunk-alignment, and attribute packing all ride ONE wide
@@ -429,24 +545,49 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     R_pad = ((R + K - 1) // K) * K + 2 * K
     # Mosaic requires the sublane (row) dim of DMA-sliced HBM arrays to be
     # 8-aligned
-    table_w = ((6 + 3 * n_passes + 7) // 8) * 8
-    calls = [_make_pallas_calls(grid, K, R_pad, table_w, 6 + 3 * i)
-             for i in range(n_passes)]
+    # packed table rows: xy(1) + conic(3) + 2 per color pass; unpacked
+    # (exact-parity mode): xy(2) + conic(3) + op(1) + 3 per pass
+    if pack16:
+        table_w = ((4 + 2 * n_passes + 7) // 8) * 8
+        col0s = [4 + 2 * i for i in range(n_passes)]
+    else:
+        table_w = ((6 + 3 * n_passes + 7) // 8) * 8
+        col0s = [6 + 3 * i for i in range(n_passes)]
+    calls = [_make_pallas_calls(grid, K, R_pad, table_w, c, packed=pack16)
+             for c in col0s]
 
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
         rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+        ts = float(grid.tile_size)
 
-        def tile_of_cell(rmin, rw, cell):
-            ty = rmin[:, 1:2] + cell // rw[:, None]
-            tx = rmin[:, 0:1] + cell % rw[:, None]
+        # CELL-MAJOR slot layout: tier-1 slot (j, g) -> j * n + g. All
+        # per-slot arrays are built [d, m] (cell rows x gaussians) so every
+        # payload expansion is a leading-axis broadcast (contiguous copies,
+        # no relayout — the [n, d] gaussian-major layout cost ~3.7 ms per
+        # payload row in XLA relayouts at 1.5M gaussians) and the backward
+        # reduction reshape [d * m] -> [d, m] is layout-free.
+        def tile_of_cell(rmin, rw, cells):
+            # cells [d, 1]; rmin [m, 2]; rw [m] -> tile ids [d, m]
+            ty = rmin[None, :, 1] + cells // rw[None, :]
+            tx = rmin[None, :, 0] + cells % rw[None, :]
             return (ty * grid.grid_x + tx).astype(jnp.int32)
 
+        def packed_xy(tile_dm, mean_m2):
+            # f16 (x_rel, y_rel) wrt each entry's own tile origin: f16's
+            # relative precision matches conic's 1/sigma^2 scaling, so the
+            # blend-power error stays ~1e-3 across footprint sizes
+            ox = (tile_dm % grid.grid_x).astype(jnp.float32) * ts
+            oy = (tile_dm // grid.grid_x).astype(jnp.float32) * ts
+            return _pack2_f16(mean_m2[None, :, 0] - ox,
+                              mean_m2[None, :, 1] - oy).reshape(-1)
+
         # tier 1: first d1 rect cells of every Gaussian
-        cells1 = jnp.arange(d1, dtype=jnp.int32)[None, :]
-        tile1 = tile_of_cell(rect_min, rect_w, cells1)
-        dup1 = (cells1 < tiles_touched[:, None]) & valid[:, None]
-        key1, depth_bits = _quantized_keys(tile1, depth, dup1, n, d1, T_tiles)
+        cells1 = jnp.arange(d1, dtype=jnp.int32)[:, None]
+        tile1 = tile_of_cell(rect_min, rect_w, cells1)               # [d1,n]
+        dup1 = (cells1 < tiles_touched[None, :]) & valid[None, :]
+        key1, depth_bits = _quantized_keys_t(tile1, depth, dup1, T_tiles)
+        xy1 = packed_xy(tile1, mean2d) if pack16 else None
 
         # tier 2: rect cells [d1, d_max) for Gaussians with big rects
         if m_cap > 0:
@@ -458,36 +599,61 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                     jnp.arange(n, dtype=jnp.int32), mode="drop")
             bvalid = big_list < n
             bl = jnp.minimum(big_list, n - 1)
-            cells2 = d1 + jnp.arange(d2_extra, dtype=jnp.int32)[None, :]
+            cells2 = d1 + jnp.arange(d2_extra, dtype=jnp.int32)[:, None]
             tile2 = tile_of_cell(rect_min[bl], rect_w[bl], cells2)
-            dup2 = (cells2 < tiles_touched[bl][:, None]) & bvalid[:, None]
-            key2, _db = _quantized_keys(tile2, depth[bl], dup2, m_cap,
-                                        d2_extra, T_tiles)
+            dup2 = (cells2 < tiles_touched[bl][None, :]) & bvalid[None, :]
+            key2, _db = _quantized_keys_t(tile2, depth[bl], dup2, T_tiles)
+            xy2 = packed_xy(tile2, mean2d[bl]) if pack16 else None
         flat_parts = [jnp.arange(slots1, dtype=jnp.int32)]
         key_parts = [key1]
+        xy_parts = [xy1]
         if m_cap > 0:
             flat_parts.append(slots1 + jnp.arange(slots2, dtype=jnp.int32))
             key_parts.append(key2)
+            xy_parts.append(xy2)
         flat = jnp.concatenate(flat_parts)
         key_all = jnp.concatenate(key_parts)
+        xy_all = jnp.concatenate(xy_parts) if pack16 else None
 
         def attr(col):
-            parts = [jnp.broadcast_to(col[:, None], (n, d1)).reshape(-1)]
+            # leading-axis broadcast: d contiguous copies, no relayout
+            parts = [jnp.broadcast_to(col[None, :], (d1, n)).reshape(-1)]
             if m_cap > 0:
                 parts.append(jnp.broadcast_to(
-                    col[bl][:, None], (m_cap, d2_extra)).reshape(-1))
+                    col[bl][None, :], (d2_extra, m_cap)).reshape(-1))
             return jnp.concatenate(parts) if m_cap > 0 else parts[0]
 
-        payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
-                   attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
-                   attr(opacity)]
-        for i in range(n_passes):
-            payload += [attr(colors_stack[i, :, 0]),
-                        attr(colors_stack[i, :, 1]),
-                        attr(colors_stack[i, :, 2])]
+        # payload rows, pack16 (f16-pair u32 except conic, which carries
+        # the only cancellation-sensitive math): xy | ca | cb | cc |
+        # (r,g) | (b,op), then (r,g),(b,-) per extra color pass.
+        # pack16=False: plain f32 rows, absolute means (exact parity mode).
+        if pack16:
+            payload = [xy_all,
+                       attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+                       attr(_pack2_f16(colors_stack[0, :, 0],
+                                       colors_stack[0, :, 1])),
+                       attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
+            for i in range(1, n_passes):
+                payload += [attr(_pack2_f16(colors_stack[i, :, 0],
+                                            colors_stack[i, :, 1])),
+                            attr(_pack2_f16(colors_stack[i, :, 2],
+                                            jnp.zeros_like(opacity)))]
+        else:
+            payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
+                       attr(conic[:, 0]), attr(conic[:, 1]),
+                       attr(conic[:, 2]), attr(opacity)]
+            for i in range(n_passes):
+                payload += [attr(colors_stack[i, :, 0]),
+                            attr(colors_stack[i, :, 1]),
+                            attr(colors_stack[i, :, 2])]
         ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
         sorted_key, sorted_flat = ops[0], ops[1]
-        rows = [o[None, :] for o in ops[2:]]
+
+        def as_f32(row):
+            if row.dtype == jnp.uint32:
+                return jax.lax.bitcast_convert_type(row, jnp.float32)
+            return row
+        rows = [as_f32(o)[None, :] for o in ops[2:]]
         pad_rows = table_w - len(rows)
         if pad_rows:
             rows = rows + [jnp.zeros((pad_rows, R), jnp.float32)]
@@ -573,14 +739,7 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         if len(all_rows) % 2:
             all_rows.append(jnp.zeros((R,), jnp.float32))
 
-        def pack2(a, b):
-            ab = jax.lax.bitcast_convert_type(
-                a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-            bb = jax.lax.bitcast_convert_type(
-                b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
-            return (ab << 16) | bb
-
-        packed = [pack2(all_rows[2 * i], all_rows[2 * i + 1])
+        packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
                   for i in range(len(all_rows) // 2)]
         unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1)
         unsorted = [None] * (1 + len(all_rows))
@@ -588,15 +747,15 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         def _unpack(i):
             word = unsorted_packed[1 + i // 2]
             half = (word >> 16) if i % 2 == 0 else (word & jnp.uint32(0xFFFF))
-            return jax.lax.bitcast_convert_type(
-                half.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+            return _f16_bits_to_f32(half)
 
         def slot_sum(i):
+            # cell-major slots: [d * m] -> [d, m] is a layout-free reshape
             row = _unpack(i)
-            out = row[:slots1].reshape(n, d1).sum(axis=1)
+            out = row[:slots1].reshape(d1, n).sum(axis=0)
             if m_cap > 0:
                 big = row[slots1:slots1 + slots2].reshape(
-                    m_cap, d2_extra).sum(axis=1)
+                    d2_extra, m_cap).sum(axis=0)
                 out = out.at[jnp.minimum(big_list, n)].add(
                     jnp.where(big_list < n, big, 0.0), mode="drop")
             return out
@@ -1205,7 +1364,7 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            max_tiles_per_gaussian: int = 16,
                            d_small: int = 6, big_fraction: float = 0.125,
                            binning: str = "sort", mesh=None,
-                           mesh_axis: str = "tiles"):
+                           mesh_axis: str = "tiles", pack16: bool = True):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
@@ -1229,7 +1388,7 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     else:
         blend = _make_pallas_blend_vjp(grid, chunk, n, max_tiles_per_gaussian,
                                        len(colors_list), d_small,
-                                       big_fraction)
+                                       big_fraction, pack16)
     stack = jnp.stack(colors_list)
     C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
                      pre_depth, pre_rect_min, pre_rect_max,
@@ -1244,11 +1403,12 @@ def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
                      max_tiles_per_gaussian: int = 16,
                      d_small: int = 6, big_fraction: float = 0.125,
-                     binning: str = "sort"):
+                     binning: str = "sort", pack16: bool = True):
     """Single-pass wrapper around rasterize_pallas_multi."""
     (out,) = rasterize_pallas_multi(
         mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
         pre_rect_min, pre_rect_max, pre_tiles_touched, pre_valid, bg,
         grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian,
-        d_small=d_small, big_fraction=big_fraction, binning=binning)
+        d_small=d_small, big_fraction=big_fraction, binning=binning,
+        pack16=pack16)
     return out
