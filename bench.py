@@ -117,7 +117,7 @@ def main():
     args = tuple(map(jnp.asarray, (xyz, scales, q, opac, colors)))
 
     d_max = int(os.environ.get("BENCH_DMAX", 10))
-    d_small = int(os.environ.get("BENCH_DSMALL", 6))
+    d_small = int(os.environ.get("BENCH_DSMALL", 4))
     binning = os.environ.get("BENCH_BINNING", "sort")
 
     def loss_fn(xyz, scales, rots, opac, colors):

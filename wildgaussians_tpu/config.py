@@ -114,8 +114,8 @@ class Config:
     # Pallas two-tier slots: every Gaussian gets pallas_d_small cheap slots;
     # a pallas_big_fraction-capacity pool covers rect cells up to
     # max_tiles_per_gaussian for big-footprint Gaussians (sky etc.).
-    pallas_d_small: int = 6
-    pallas_big_fraction: float = 0.125
+    pallas_d_small: int = 4
+    pallas_big_fraction: float = 0.16
     # Entry binning inside the pallas backend: "sort" (one wide lax.sort —
     # fastest measured single-chip path) or "partition" (the radix engine;
     # forced automatically under a device mesh, where it is the only
@@ -132,6 +132,13 @@ class Config:
     initial_capacity: int = 0  # 0 = derived from the initial point count
     # Sharding: number of devices along the 'tiles' mesh axis (0 = all).
     mesh_tile_devices: int = 0
+    # Mixed-resolution train canvases: 0 pads every train image to the
+    # dataset-wide max (one compiled step). >0 rounds each image's canvas up
+    # to this multiple instead, compiling one step program per distinct
+    # bucket — Photo Tourism images vary wildly, so pad-to-max wastes
+    # compute and HBM; larger multiples trade padding waste for fewer
+    # compiles.
+    size_bucket_multiple: int = 0
     # Seed for all JAX randomness.
     seed: int = 0
 

@@ -126,8 +126,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched,
             pre.valid, bg, grid=grid, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            d_small=getattr(config, "pallas_d_small", 6),
-            big_fraction=getattr(config, "pallas_big_fraction", 0.125),
+            d_small=getattr(config, "pallas_d_small", 4),
+            big_fraction=getattr(config, "pallas_big_fraction", 0.16),
             binning=getattr(config, "pallas_binning", "sort"),
             mesh=current_mesh())
         results = dict(zip([tag for tag, _c in passes], outs))
@@ -154,10 +154,14 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
 
     from ..ops.rasterize import overflow_count
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
+    from ..parallel.mesh import current_mesh
     overflow = overflow_count(
         pre, backend, max_tiles_per_gaussian,
-        d_small=getattr(config, "pallas_d_small", 6),
-        big_fraction=getattr(config, "pallas_big_fraction", 0.125))
+        d_small=getattr(config, "pallas_d_small", 4),
+        big_fraction=getattr(config, "pallas_big_fraction", 0.16),
+        binning=(getattr(config, "pallas_binning", "sort")
+                 if current_mesh() is None else "partition"),
+        grid=grid)
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
                      depth=depth, num_rendered=num_rendered,

@@ -27,18 +27,39 @@ def mark_visible(means3d: jnp.ndarray, camera: CameraParams) -> jnp.ndarray:
 
 
 def overflow_count(pre, backend: str, max_tiles_per_gaussian: int,
-                   *, d_small: int = 6, big_fraction: float = 0.125):
+                   *, d_small: int = 4, big_fraction: float = 0.16,
+                   binning: str = "sort", grid=None):
     """Truncated-contribution count, two-tier-aware for the pallas backend.
 
     Counts (a) Gaussians whose tile rect exceeds max_tiles_per_gaussian and
     (b) for pallas, big Gaussians beyond the big-pool capacity that keep only
     their d_small cheap slots (rasterize_pallas._make_pallas_blend_vjp).
+    The sort engine corner-culls invisible rect cells before binning, so its
+    "big" classification runs on VISIBLE-cell counts — mirror it here (the
+    shared visible_cell_counts graph CSEs with the binning's own), else the
+    metric overcounts ~4x and spuriously triggers the trainer's tile-budget
+    auto-grow. The partition/gather engines bin raw rect cells with a
+    d_small floor of 6 (rasterize_pallas_multi) — mirror that too.
     """
     overflow = jnp.sum(pre.tiles_touched > max_tiles_per_gaussian)
-    if backend == "pallas" and max_tiles_per_gaussian > d_small:
-        n = pre.valid.shape[0]
+    if backend != "pallas":
+        return overflow
+    n = pre.valid.shape[0]
+    if binning == "sort" and grid is not None:
+        from .rasterize_pallas import visible_cell_counts
+        if max_tiles_per_gaussian > d_small:
+            m_cap = max(int(n * big_fraction), 8)
+            vis = visible_cell_counts(
+                pre.mean2d, pre.conic, pre.opacity, pre.rect_min,
+                pre.rect_max, pre.tiles_touched, pre.valid, grid,
+                max_tiles_per_gaussian)
+            n_big = jnp.sum(vis > d_small)
+            overflow = overflow + jnp.maximum(n_big - m_cap, 0)
+        return overflow
+    d_eff = max(d_small, 6) if binning in ("partition", "gather") else d_small
+    if max_tiles_per_gaussian > d_eff:
         m_cap = max(int(n * big_fraction), 8)
-        n_big = jnp.sum((pre.tiles_touched > d_small) & pre.valid)
+        n_big = jnp.sum((pre.tiles_touched > d_eff) & pre.valid)
         overflow = overflow + jnp.maximum(n_big - m_cap, 0)
     return overflow
 
@@ -69,8 +90,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         chunk: int = 256,
                         batch_tiles: int = 64,
                         sort_mode: str = "quantized",
-                        d_small: int = 6,
-                        big_fraction: float = 0.125,
+                        d_small: int = 4,
+                        big_fraction: float = 0.16,
                         binning: str = "sort",
                         pack16: bool = True,
                         scale_modifier: float = 1.0) -> RasterizeResult:
@@ -102,7 +123,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     grid = make_grid(width, height, tile_size)
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))
     overflow = overflow_count(pre, backend, max_tiles_per_gaussian,
-                              d_small=d_small, big_fraction=big_fraction)
+                              d_small=d_small, big_fraction=big_fraction,
+                              binning=binning, grid=grid)
     if backend == "tiled":
         binning = bin_gaussians(pre, grid.grid_x, grid.grid_y,
                                 max_tiles_per_gaussian, sort_mode=sort_mode)
