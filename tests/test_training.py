@@ -9,14 +9,20 @@ from wildgaussians_tpu.types import new_cameras
 from helpers import make_camera, make_scene
 
 
-def _make_synthetic_dataset(rng, n_cams=6, width=64, height=48, n_points=300):
-    """Ground-truth gaussians rendered with the oracle become the 'photos'."""
+def _make_synthetic_dataset(rng, n_cams=6, width=64, height=48, n_points=300,
+                            sizes=None):
+    """Ground-truth gaussians rendered with the oracle become the 'photos'.
+
+    `sizes` optionally gives a per-camera (width, height) list (mixed-
+    resolution datasets, e.g. the size-bucketing test)."""
     import wildgaussians_tpu.cameras as wc
     from wildgaussians_tpu.ops.rasterize import rasterize_gaussians
 
+    if sizes is None:
+        sizes = [(width, height)] * n_cams
+    n_cams = len(sizes)
     scene = make_scene(rng, n=n_points, spread=1.5, z_range=(3.0, 7.0))
     poses, images = [], []
-    f = width / (2 * np.tan(np.radians(50.0) / 2))
     for i in range(n_cams):
         angle = (i - n_cams / 2) * 0.08
         pose = np.eye(4, dtype=np.float32)[:3]
@@ -27,12 +33,16 @@ def _make_synthetic_dataset(rng, n_cams=6, width=64, height=48, n_points=300):
         rot = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float32)
         pose[:3, :3] = rot
         poses.append(pose)
+    intrinsics = np.stack([
+        np.array([w / (2 * np.tan(np.radians(50.0) / 2)),
+                  w / (2 * np.tan(np.radians(50.0) / 2)),
+                  w / 2, h / 2], np.float32) for w, h in sizes])
     cameras = new_cameras(
         poses=np.stack(poses),
-        intrinsics=np.tile(np.array([[f, f, width / 2, height / 2]], np.float32), (n_cams, 1)),
+        intrinsics=intrinsics,
         camera_models=np.zeros((n_cams,), np.int32),
         distortion_parameters=np.zeros((n_cams, 6), np.float32),
-        image_sizes=np.tile(np.array([[width, height]], np.int32), (n_cams, 1)),
+        image_sizes=np.asarray(sizes, np.int32),
     )
     for i in range(n_cams):
         params, w, h = wc.make_camera_params(cameras[i])
@@ -187,3 +197,26 @@ def test_overflow_auto_bump(rng):
     for s in range(12):
         m.train_iteration(s)
     assert m.config.max_tiles_per_gaussian > before
+
+
+def test_size_bucketing_mixed_resolutions(rng):
+    """size_bucket_multiple>0 pads each train image to its own bucket and
+    compiles one step program per distinct canvas; training stays finite and
+    renders keep their exact per-camera sizes."""
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    sizes = [(64, 48), (48, 64), (32, 40), (64, 48)]
+    dataset, _scene = _make_synthetic_dataset(rng, n_points=80, sizes=sizes)
+    overrides = dict(OVERRIDES)
+    overrides.update(iterations=40, densify_from_iter=1000,
+                     size_bucket_multiple=16)
+    m = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    assert len(set(m._pad_wh)) == 3  # three distinct buckets
+    for img, (bw, bh) in zip(m._train_images, m._pad_wh):
+        assert img.shape[:2] == (bh, bw)
+    metrics = [m.train_iteration(s) for s in range(8)]
+    assert all(np.isfinite(x["loss"]) for x in metrics)
+    # every bucket that was visited got its own compiled step
+    assert set(m._step_cache) <= set(m._pad_wh)
+    assert len(m._step_cache) >= 2
+    out = m.render(dataset["cameras"][1])
+    assert out["color"].shape == (64, 48, 3)

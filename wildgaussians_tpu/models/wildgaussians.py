@@ -88,6 +88,7 @@ class WildGaussians:
         self._sky_distance = None
         self._uncertainty = None
         self._overflow_streak = 0
+        self._step_cache = {}  # (pad_w, pad_h) -> jitted train step
 
         # unsupported-combo guards (reference method.py:976-978)
         assert getattr(self.config, "appearance_model_2D", "disabled") == "disabled", \
@@ -131,17 +132,25 @@ class WildGaussians:
         sizes = np.asarray(self.train_cameras.image_sizes)
         self._pad_w = _round_up(int(sizes[:, 0].max()), 16)
         self._pad_h = _round_up(int(sizes[:, 1].max()), 16)
+        # per-camera canvas: pad-to-max (one compiled step) or size buckets
+        # (one step program per distinct rounded-up canvas)
+        mult = self.config.size_bucket_multiple
+        if mult > 0:
+            self._pad_wh = [(_round_up(int(s[0]), mult),
+                             _round_up(int(s[1]), mult)) for s in sizes]
+        else:
+            self._pad_wh = [(self._pad_w, self._pad_h)] * len(sizes)
         self._train_images = [
-            _pad_to(convert_image_dtype(img, np.float32)[..., :3], self._pad_h, self._pad_w)
-            for img in images]
+            _pad_to(convert_image_dtype(img, np.float32)[..., :3], bh, bw)
+            for img, (bw, bh) in zip(images, self._pad_wh)]
         self._train_masks = None
         if masks is not None:
             self._train_masks = [
-                _pad_to(convert_image_dtype(m, np.float32)[..., None], self._pad_h, self._pad_w)[..., 0]
-                for m in masks]
+                _pad_to(convert_image_dtype(m, np.float32)[..., None], bh, bw)[..., 0]
+                for m, (bw, bh) in zip(masks, self._pad_wh)]
         self._pixmask = [
-            _pad_to(np.ones((int(s[1]), int(s[0]), 1), np.float32), self._pad_h, self._pad_w)[..., 0]
-            for s in sizes]
+            _pad_to(np.ones((int(s[1]), int(s[0]), 1), np.float32), bh, bw)[..., 0]
+            for s, (bw, bh) in zip(sizes, self._pad_wh)]
 
         # stacked camera tensors for in-jit gather
         self._poses_dev = jnp.asarray(np.stack([np.asarray(c, np.float32) for c in self.train_cameras.poses]))
@@ -180,12 +189,19 @@ class WildGaussians:
 
     # ------------------------------------------------------------- jitted step
 
-    @functools.cached_property
-    def _train_step_fn(self):
+    def _train_step_for(self, pad_w: int, pad_h: int):
+        """Jitted train step for one padded-canvas bucket (cached)."""
+        cached = self._step_cache.get((pad_w, pad_h))
+        if cached is not None:
+            return cached
+        fn = self._build_train_step(pad_w, pad_h)
+        self._step_cache[(pad_w, pad_h)] = fn
+        return fn
+
+    def _build_train_step(self, pad_w: int, pad_h: int):
         config = self.config
         use_abs = config.use_gof_abs_gradient
         lambda_dssim = config.lambda_dssim
-        pad_w, pad_h = self._pad_w, self._pad_h
         spatial_lr_scale = self.spatial_lr_scale
 
         uncertainty = self._uncertainty
@@ -400,7 +416,8 @@ class WildGaussians:
                           self._uncertainty.bn_state, ukey, jnp.bool_(protect))
 
         densify_enabled = iteration < self.config.densify_until_iter
-        self.params, self.adam, self.aux, metrics, new_bn = self._train_step_fn(
+        bw, bh = self._pad_wh[camera_id]
+        self.params, self.adam, self.aux, metrics, new_bn = self._train_step_for(bw, bh)(
             self.params, self.adam, self.aux, jnp.int32(camera_id), gt,
             pixmask, mask, jnp.float32(iteration),
             jnp.bool_(densify_enabled), self._poses_dev, self._intr_dev,
@@ -453,7 +470,7 @@ class WildGaussians:
             "(staged recompile)", self._overflow_streak, old,
             self.config.max_tiles_per_gaussian, self.config.pallas_big_fraction)
         self._overflow_streak = 0
-        self.__dict__.pop("_train_step_fn", None)
+        self._step_cache.clear()
         self._render_fn.cache_clear()
 
     @functools.lru_cache(maxsize=None)
@@ -491,7 +508,7 @@ class WildGaussians:
             self.params, self.adam, self.aux = gs.grow_capacity(
                 self.params, self.adam, self.aux, new_capacity)
             # shapes changed: drop compiled functions
-            self.__dict__.pop("_train_step_fn", None)
+            self._step_cache.clear()
             self.__dict__.pop("_densify_fn", None)
             self.__dict__.pop("_reset_opacity_fn", None)
 
