@@ -119,11 +119,12 @@ def main():
     d_max = int(os.environ.get("BENCH_DMAX", 10))
     d_small = int(os.environ.get("BENCH_DSMALL", 4))
     binning = os.environ.get("BENCH_BINNING", "sort")
+    chunk = int(os.environ.get("BENCH_CHUNK", 256))
 
     def loss_fn(xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
                                   kernel_size=0.1, backend=backend,
-                                  max_tiles_per_gaussian=d_max,
+                                  max_tiles_per_gaussian=d_max, chunk=chunk,
                                   d_small=d_small, binning=binning)
         return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
                                                        out.overflow)

@@ -26,10 +26,7 @@ def test_host_tile_rows_single_process():
     assert (r0, r1) == (0, 96)
 
 
-def test_sharded_program_collectives(rng):
-    """The sharded pallas-partition program must all-reduce only Gaussian
-    gradients: exactly the per-rank grad psum, and no all-gather of the
-    (replicated) entry table."""
+def _sharded_grad_hlo(rng, binning):
     import sys
     sys.path.insert(0, "/root/repo/tests")
     from helpers import make_camera, make_scene
@@ -57,17 +54,17 @@ def test_sharded_program_collectives(rng):
     def loss(m2d, con, op, col):
         ((img, _t),) = rasterize_pallas_multi(
             m2d, con, op, [col], jnp.zeros((n, 2)), *geo, bg, grid=grid,
-            max_tiles_per_gaussian=6, d_small=6, mesh=mesh)
+            max_tiles_per_gaussian=6, d_small=6, mesh=mesh, binning=binning)
         return jnp.mean((img - target) ** 2)
 
     lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
         pre.mean2d, pre.conic, pre.opacity, colors)
-    hlo = lowered.compile().as_text()
-    n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
-    assert n_allreduce >= 1, "gradient psum missing from the sharded program"
-    assert n_allreduce <= 4, f"unexpected extra collectives: {n_allreduce}"
-    # no LARGE all-gather: the replicated entry table must never be
-    # re-gathered (XLA may gather tiny scalars-level values, e.g. the
+    return lowered.compile().as_text()
+
+
+def _assert_no_large_allgather(hlo):
+    # no LARGE all-gather: neither engine may re-gather entry tables or
+    # Gaussian tensors (XLA may gather tiny scalar-level values, e.g. the
     # bucket_ranges cumsum — s32[1,16] — which is fine)
     import re
     for line in hlo.splitlines():
@@ -75,3 +72,31 @@ def test_sharded_program_collectives(rng):
         if m and m.group(1):
             numel = int(np.prod([int(x) for x in m.group(1).split(",")]))
             assert numel < 16384, f"large all-gather in sharded program: {line[:160]}"
+
+
+def test_sharded_program_collectives_partition(rng):
+    """The replicated-binning partition path must all-reduce exactly the
+    per-rank Gaussian gradient psum — and nothing big besides."""
+    hlo = _sharded_grad_hlo(rng, "partition")
+    n_allreduce = hlo.count("all-reduce(") + hlo.count("all-reduce-start(")
+    assert n_allreduce >= 1, "gradient psum missing from the sharded program"
+    assert n_allreduce <= 4, f"unexpected extra collectives: {n_allreduce}"
+    _assert_no_large_allgather(hlo)
+
+
+def test_sharded_program_collectives_sort(rng):
+    """The Gaussian-sharded sort engine's only bulk collective is the
+    entry all-to-all (one each way); Gaussian gradients stay shard-owned,
+    so there must be NO large all-reduce (only the tiny bg-grad psum may
+    survive when bg is differentiated — here it is not)."""
+    hlo = _sharded_grad_hlo(rng, "sort")
+    n_a2a = hlo.count("all-to-all(") + hlo.count("all-to-all-start(")
+    assert n_a2a >= 2, f"expected fwd+bwd entry all-to-all, got {n_a2a}"
+    import re
+    for line in hlo.splitlines():
+        m = re.search(r"=\s+\w+\[([\d,]*)\][^=]*all-reduce", line)
+        if m and m.group(1):
+            numel = int(np.prod([int(x) for x in m.group(1).split(",")]))
+            assert numel < 16384, \
+                f"large all-reduce in gaussian-sharded program: {line[:160]}"
+    _assert_no_large_allgather(hlo)

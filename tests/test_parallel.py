@@ -119,6 +119,62 @@ def test_sharded_pallas_partition_matches_single(rng):
                                    atol=1e-6 * (np.abs(gb).max() + 1e-12))
 
 
+def test_sharded_sort_engine_matches_single(rng):
+    """The Gaussian-sharded sort engine (local sort + all-to-all to tile
+    bands) under an 8-device mesh must match the single-device sort engine:
+    same corner-cull compaction, same f16 payloads, same kernels — only the
+    binning is distributed. Differences are bounded by f32 chunk-boundary
+    reassociation and quantized-depth ties."""
+    from helpers import make_camera, make_scene
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess
+    from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+    from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+    from wildgaussians_tpu.parallel.mesh import make_tile_mesh
+
+    scene = make_scene(rng, n=200)
+    scene["scales"][::25] *= 20.0   # one tier-2 (big) Gaussian per shard
+    cam = make_camera(width=64, height=64)
+    params, w, h = wc.make_camera_params(cam)
+    cov3d = compute_cov3d(jnp.asarray(scene["scales"]),
+                          jnp.asarray(scene["rotations"]))
+    pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                     jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+    grid = make_grid(w, h, 16)
+    colors = jnp.asarray(scene["colors"])
+    n = colors.shape[0]
+    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    geo = (pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched, pre.valid)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    def run(mesh, m2d, con, op, col, bg_):
+        ((img, _t),) = rasterize_pallas_multi(
+            m2d, con, op, [col], jnp.zeros((n, 2)), *geo, bg_, grid=grid,
+            max_tiles_per_gaussian=16, big_fraction=0.5, mesh=mesh,
+            binning="sort")
+        return img
+
+    def loss(mesh, *a):
+        return jnp.mean((run(mesh, *a) - target) ** 2)
+
+    args = (pre.mean2d, pre.conic, pre.opacity, colors, bg)
+    img_base = run(None, *args)
+    base_l, base_g = jax.value_and_grad(
+        lambda *a: loss(None, *a), argnums=(0, 1, 2, 3, 4))(*args)
+    mesh = make_tile_mesh(jax.devices()[:8])
+    img_sh = jax.jit(lambda *a: run(mesh, *a))(*args)
+    sh_l, sh_g = jax.jit(jax.value_and_grad(
+        lambda *a: loss(mesh, *a), argnums=(0, 1, 2, 3, 4)))(*args)
+
+    np.testing.assert_allclose(np.asarray(img_sh), np.asarray(img_base),
+                               atol=2e-5)
+    assert float(base_l) == pytest.approx(float(sh_l), abs=1e-6)
+    for gb, gs in zip(base_g, sh_g):
+        gb, gs = np.asarray(gb), np.asarray(gs)
+        np.testing.assert_allclose(gs, gb, rtol=1e-4,
+                                   atol=2e-5 * (np.abs(gb).max() + 1e-12))
+
+
 def test_native_knn_matches_jax(rng):
     from wildgaussians_tpu.ops import knn_native
     from wildgaussians_tpu.ops.knn import mean_knn_dist2

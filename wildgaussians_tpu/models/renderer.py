@@ -159,8 +159,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         pre, backend, max_tiles_per_gaussian,
         d_small=getattr(config, "pallas_d_small", 4),
         big_fraction=getattr(config, "pallas_big_fraction", 0.16),
-        binning=(getattr(config, "pallas_binning", "sort")
-                 if current_mesh() is None else "partition"),
+        binning=getattr(config, "pallas_binning", "sort"),
         grid=grid)
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,

@@ -918,6 +918,422 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     return blend
 
 
+@functools.lru_cache(maxsize=32)
+def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
+                                 n_passes: int = 1, d_small: int = 4,
+                                 big_fraction: float = 0.16,
+                                 mesh=None, mesh_axis: str = "tiles",
+                                 pack16: bool = True, send_beta: float = 2.0):
+    """Gaussian-sharded sort engine (v5): the production binning under a mesh.
+
+    The TPU-native analogue of multi-GPU Gaussian splatting: Gaussians are
+    sharded across the mesh axis (parameters, preprocess, binning and the
+    gradient reduction all scale 1/D in memory and FLOPs — the >HBM-count
+    tensor-parallel path), tiles are sharded for blending, and the two meet
+    in ONE static-shape all-to-all over ICI:
+
+      1. each device corner-culls + compacts + locally lax.sorts the entries
+         of its n/D Gaussians by the same [tile | depth] key as the
+         single-chip engine — after which the entries destined for each
+         device's tile band are CONTIGUOUS segments (searchsorted on band
+         boundary keys);
+      2. the segments are packed into a [D, C] static-cap send buffer
+         (C = send_beta * R_loc / D, 128-aligned; segments beyond C are
+         dropped and the overflow is visible in the cull-aware metric only
+         as quality, so send_beta defaults to 2x the balanced load) and
+         exchanged with a tiled lax.all_to_all — riding ICI, no host;
+      3. the receiver merges its D sorted sub-streams with one local sort
+         (1/D-scale) and blends its tile band with the unmodified kernels.
+
+    The backward runs the band kernels, un-sorts per-entry gradients back to
+    receive order, reverses the all-to-all, and restores the sender's slot
+    order with one merge sort against an explicit complement stream (slots
+    whose entries were never sent carry zero gradient), so per-Gaussian
+    gradient reduction happens entirely on the owning shard — Gaussian
+    gradients are never replicated and need NO psum; only the bg-color
+    gradient crosses devices. Single-chip order is reproduced exactly
+    whenever the quantized keys are unique (stable sorts end-to-end).
+
+    vs the replicated-binning partition path: binning work scales 1/D and
+    the sort engine's measured 2.8x single-chip advantage is kept.
+
+    Caveat: the big-Gaussian pool is per shard (m_cap = n_loc *
+    big_fraction), so a shard owning far more than its share of big
+    Gaussians truncates earlier than the single-chip pool would — the store
+    packs alive slots contiguously, making this visible on tiny scenes.
+    Densification scatters new Gaussians across capacity, so converged
+    scenes distribute evenly; persistent truncation still surfaces through
+    the overflow metric and the trainer's big_fraction auto-grow.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SP
+
+    T_tiles = grid.num_tiles
+    D = int(mesh.shape[mesh_axis])
+    assert n % D == 0, (n, D)
+    n_loc = n // D
+    d1 = min(d_small, d_max)
+    d2_extra = d_max - d1
+    m_cap = max(int(n_loc * big_fraction), 8) if d2_extra > 0 else 0
+    slots1 = n_loc * d1
+    slots2 = m_cap * d2_extra
+    R_loc = slots1 + slots2
+    T_shpad = _round_up(T_tiles, D)
+    T_band = T_shpad // D
+    tile_bits = max(int(T_shpad + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    C = min(_round_up(R_loc, 128),
+            _round_up(max(int(R_loc * send_beta / D), 2 * K), 128))
+    RB = D * C                       # receive-table entries per device
+    RB_pad = _round_up(RB, K) + 2 * K
+    ts = float(grid.tile_size)
+
+    if pack16:
+        table_w = _round_up(4 + 2 * n_passes, 8)
+        col0s = [4 + 2 * i for i in range(n_passes)]
+    else:
+        table_w = _round_up(6 + 3 * n_passes, 8)
+        col0s = [6 + 3 * i for i in range(n_passes)]
+    calls = [_make_pallas_calls(grid, K, RB_pad, table_w, c, 0, T_band,
+                                packed=pack16)
+             for c in col0s]
+
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    def _local_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                       rect_max, tiles_touched, valid):
+        """Single-chip _sort_entries logic on the local Gaussian shard:
+        corner-cull + visible-cell compaction + ONE wide payload sort."""
+        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+        cull_thr = _cull_threshold(opacity)
+
+        def quantized_key(tile_m, depth_m, dup_m):
+            dpos = jnp.maximum(depth_m, 0.0)
+            dbits = (jax.lax.bitcast_convert_type(dpos, jnp.uint32)
+                     >> (31 - depth_bits))
+            dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
+            key = (tile_m.astype(jnp.uint32) << depth_bits) | dq
+            return jnp.where(dup_m, key, SENT)
+
+        def packed_xy(tile_m, mean_m2):
+            ox = (tile_m % grid.grid_x).astype(jnp.float32) * ts
+            oy = (tile_m // grid.grid_x).astype(jnp.float32) * ts
+            return _pack2_f16(mean_m2[:, 0] - ox, mean_m2[:, 1] - oy)
+
+        def select_cells(rmin, rw, tt, vald, mean_m2, con_m, thr_m, d_lo,
+                         d_hi):
+            m = rw.shape[0]
+            prefix = jnp.zeros((m,), jnp.int32)
+            sel = [jnp.zeros((m,), jnp.int32) for _ in range(d_hi - d_lo)]
+            for j in range(d_max):
+                tj = _tile_of_cell(rmin, rw, j, grid.grid_x)
+                vj = ((j < tt) & vald
+                      & _cell_visible(tj, mean_m2, con_m, thr_m, grid))
+                for jo in range(d_lo, d_hi):
+                    sel[jo - d_lo] = jnp.where(
+                        vj & (prefix == jo), tj, sel[jo - d_lo])
+                prefix = prefix + vj.astype(jnp.int32)
+            return sel, prefix
+
+        key_parts, xy_parts = [], []
+        sel1, vis_count = select_cells(rect_min, rect_w, tiles_touched,
+                                       valid, mean2d, conic, cull_thr, 0, d1)
+        for jo in range(d1):
+            key_parts.append(quantized_key(sel1[jo], depth, jo < vis_count))
+            if pack16:
+                xy_parts.append(packed_xy(sel1[jo], mean2d))
+        if m_cap > 0:
+            is_big = (vis_count > d1) & valid
+            bkey = jnp.where(is_big, jnp.arange(n_loc, dtype=jnp.int32),
+                             jnp.int32(0x7FFFFFFF))
+            big_list = jnp.minimum(jax.lax.sort(bkey)[:m_cap], n_loc)
+            bvalid = big_list < n_loc
+            bl = jnp.minimum(big_list, n_loc - 1)
+            mean_b = mean2d[bl]
+            sel2, vis_b = select_cells(rect_min[bl], rect_w[bl],
+                                       tiles_touched[bl], bvalid, mean_b,
+                                       conic[bl], cull_thr[bl], d1, d_max)
+            for j2 in range(d1, d_max):
+                key_parts.append(
+                    quantized_key(sel2[j2 - d1], depth[bl], j2 < vis_b))
+                if pack16:
+                    xy_parts.append(packed_xy(sel2[j2 - d1], mean_b))
+        else:
+            big_list = jnp.zeros((0,), jnp.int32)
+        key_all = jnp.concatenate(key_parts)
+
+        def attr(col):
+            parts = [col] * d1
+            if m_cap > 0:
+                parts += [col[bl]] * d2_extra
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        if pack16:
+            payload = [jnp.concatenate(xy_parts),
+                       attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+                       attr(_pack2_f16(colors_stack[0, :, 0],
+                                       colors_stack[0, :, 1])),
+                       attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
+            for i in range(1, n_passes):
+                payload += [attr(_pack2_f16(colors_stack[i, :, 0],
+                                            colors_stack[i, :, 1])),
+                            attr(_pack2_f16(colors_stack[i, :, 2],
+                                            jnp.zeros_like(opacity)))]
+        else:
+            payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
+                       attr(conic[:, 0]), attr(conic[:, 1]),
+                       attr(conic[:, 2]), attr(opacity)]
+            for i in range(n_passes):
+                payload += [attr(colors_stack[i, :, 0]),
+                            attr(colors_stack[i, :, 1]),
+                            attr(colors_stack[i, :, 2])]
+        flat = jnp.arange(R_loc, dtype=jnp.int32)
+        ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
+        return ops[0], ops[1], list(ops[2:]), big_list
+
+    def _as_u32(row):
+        if row.dtype == jnp.uint32:
+            return row
+        return jax.lax.bitcast_convert_type(row, jnp.uint32)
+
+    def _send(rows_u32, seg):
+        """Pack band segments of locally-sorted rows into [nr, D*C] send
+        buffers (chunk b = my entries for band b) and exchange. Row 0 must
+        be the key row (masked to the sentinel beyond each segment)."""
+        nr = len(rows_u32)
+        idx = jnp.arange(C, dtype=jnp.int32)
+        chunks = []
+        for b in range(D):
+            lo = seg[b]
+            live = (lo + idx) < seg[b + 1]
+            per_row = []
+            for r, row in enumerate(rows_u32):
+                padded = jnp.concatenate(
+                    [row, jnp.full((C,), SENT if r == 0 else jnp.uint32(0),
+                                   jnp.uint32)])
+                piece = jax.lax.dynamic_slice(padded, (lo,), (C,))
+                if r == 0:
+                    piece = jnp.where(live, piece, SENT)
+                per_row.append(piece)
+            chunks.append(per_row)
+        send = jnp.stack(
+            [jnp.concatenate([chunks[b][r] for b in range(D)])
+             for r in range(nr)])                              # [nr, D*C]
+        return jax.lax.all_to_all(send, mesh_axis, split_axis=1,
+                                  concat_axis=1, tiled=True)
+
+    def sfwd(mean2d, conic, opacity, colors_stack, depth, rect_min,
+             rect_max, tiles_touched, valid, bg):
+        skey, sflat, payload, big_list = _local_entries(
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
+            tiles_touched, valid)
+        band_bounds = (jnp.arange(D + 1, dtype=jnp.uint32)
+                       * jnp.uint32(T_band)) << jnp.uint32(depth_bits)
+        seg = jnp.searchsorted(skey, band_bounds,
+                               side="left").astype(jnp.int32)
+        recv = _send([skey] + [_as_u32(p) for p in payload], seg)
+
+        ridx = jnp.arange(RB, dtype=jnp.int32)
+        rops = jax.lax.sort((recv[0], ridx,
+                             *[recv[1 + i] for i in range(len(payload))]),
+                            num_keys=1)
+        rkey, ridx_sorted = rops[0], rops[1]
+        rows = [jax.lax.bitcast_convert_type(o, jnp.float32)[None, :]
+                for o in rops[2:]]
+        pad_rows = table_w - len(rows)
+        if pad_rows:
+            rows = rows + [jnp.zeros((pad_rows, RB), jnp.float32)]
+        table = jnp.concatenate(rows, axis=0)
+        table = jnp.concatenate(
+            [table, jnp.zeros((table_w, RB_pad - RB), jnp.float32)], axis=1)
+
+        my_t0 = jax.lax.axis_index(mesh_axis).astype(jnp.uint32) * T_band
+        bounds = ((my_t0 + jnp.arange(T_band + 1, dtype=jnp.uint32))
+                  << jnp.uint32(depth_bits))
+        starts = jnp.searchsorted(rkey, bounds, side="left").astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+
+        tb = (my_t0.astype(jnp.int32))[None]
+        packs = []
+        for i in range(n_passes):
+            (pack,) = calls[i][0](tb, starts, counts, table)
+            packs.append(pack)
+        pack_stack = jnp.stack(packs)            # [np, T_band, P_PIX, 8]
+        res = (table[None], ridx_sorted[None], seg[None], sflat[None],
+               big_list[None], starts[None])
+        return (pack_stack,) + res
+
+    def sbwd(table, ridx_sorted, seg, sflat, big_list, starts, pack_stack,
+             gC, gT, bg):
+        (table, ridx_sorted, seg, sflat, big_list, starts) = (
+            table[0], ridx_sorted[0], seg[0], sflat[0], big_list[0],
+            starts[0])
+        counts = starts[1:] - starts[:-1]
+        my_t0 = jax.lax.axis_index(mesh_axis).astype(jnp.int32) * T_band
+        tb = my_t0[None]
+
+        geo_rows = None
+        color_rows = []
+        dbg = jnp.zeros((3,), jnp.float32)
+        for i in range(n_passes):
+            final_t = pack_stack[i, :, :, 3]
+            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                        precision=_HIGH)
+            cot_pack = jnp.concatenate(
+                [gC[i], gt_eff[..., None],
+                 jnp.zeros((T_band, P_PIX, 4), jnp.float32)], axis=-1)
+            (eg,) = calls[i][1](tb, starts, counts, table, cot_pack,
+                                pack_stack[i])
+            g_geo = jnp.concatenate([eg[0:6, :RB], eg[9:11, :RB]], axis=0)
+            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+            color_rows.append(eg[6:9, :RB])
+            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t,
+                                   precision=_HIGH)
+        dbg = jax.lax.psum(dbg, mesh_axis)
+
+        covered = jnp.arange(RB, dtype=jnp.int32) < starts[T_band]
+        all_rows = [geo_rows[j] for j in range(8)]
+        for cr in color_rows:
+            all_rows += [cr[0], cr[1], cr[2]]
+        all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
+        if len(all_rows) % 2:
+            all_rows.append(jnp.zeros((RB,), jnp.float32))
+        packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
+                  for i in range(len(all_rows) // 2)]
+
+        # receive order <- band-sorted order, then reverse the all-to-all:
+        # chunk b of `back` = gradients of the entries I sent to band b,
+        # in my send order (positions seg[b] + i of my local sort)
+        un = jax.lax.sort((ridx_sorted, *packed), num_keys=1)
+        back = jax.lax.all_to_all(jnp.stack(un[1:]), mesh_axis,
+                                  split_axis=1, concat_axis=1, tiled=True)
+
+        # slot restore: merge the received chunks (keyed by each entry's
+        # original SLOT index) with an explicit complement stream — slots
+        # whose entries were never sent (key-invalid tail, send-cap drops)
+        # carry zero gradient — so every slot appears exactly once and one
+        # stable sort yields the dense slot-ordered gradient table
+        idx = jnp.arange(C, dtype=jnp.int32)
+        sfpad = jnp.concatenate(
+            [sflat, jnp.full((C,), R_loc, jnp.int32)])
+        akey = jnp.concatenate([
+            jnp.where((seg[b] + idx) < seg[b + 1],
+                      jax.lax.dynamic_slice(sfpad, (seg[b],), (C,)),
+                      R_loc)
+            for b in range(D)])
+        p = jnp.arange(R_loc, dtype=jnp.int32)
+        band_p = jnp.clip(jnp.searchsorted(seg, p, side="right") - 1,
+                          0, D - 1)
+        sent = (p < seg[D]) & ((p - seg[band_p]) < C)
+        bkey_c = jnp.where(sent, R_loc, sflat)
+        keys = jnp.concatenate([akey, bkey_c])
+        zrow = jnp.zeros((R_loc,), jnp.uint32)
+        merged = jax.lax.sort(
+            (keys, *[jnp.concatenate([back[r], zrow])
+                     for r in range(back.shape[0])]), num_keys=1)
+
+        def _unpack(i):
+            word = merged[1 + i // 2][:R_loc]
+            half = (word >> 16) if i % 2 == 0 else (word & jnp.uint32(0xFFFF))
+            return _f16_bits_to_f32(half)
+
+        n_rows = 8 + 3 * n_passes
+
+        def slot_base(i):
+            row = _unpack(i)
+            out = row[0:n_loc]
+            for j in range(1, d1):
+                out = out + row[j * n_loc:(j + 1) * n_loc]
+            return out
+
+        def slot_big(i):
+            row = _unpack(i)
+            big = row[slots1:slots1 + m_cap]
+            for j2 in range(1, d2_extra):
+                big = big + row[slots1 + j2 * m_cap:
+                                slots1 + (j2 + 1) * m_cap]
+            return big
+
+        sums = jnp.stack([slot_base(i) for i in range(n_rows)])
+        if m_cap > 0:
+            bigs = jnp.stack([slot_big(i) for i in range(n_rows)])
+            sums = sums.at[:, jnp.minimum(big_list, n_loc)].add(
+                jnp.where(big_list < n_loc, bigs, 0.0), mode="drop")
+        dmean2d = sums[0:2].T
+        dconic = sums[2:5].T
+        dop = sums[5]
+        dabs = sums[6:8].T
+        dcolors = jnp.stack(
+            [sums[8 + 3 * i:11 + 3 * i].T for i in range(n_passes)])
+        return dmean2d, dconic, dop, dcolors, dabs, dbg
+
+    gspec = SP(mesh_axis)                       # [n, ...] gaussian-sharded
+    gspec2 = SP(mesh_axis, None)
+    cspec = SP(None, mesh_axis, None)
+    res_spec = tuple(SP(mesh_axis) for _ in range(6))
+
+    fwd_sharded = shard_map(
+        sfwd, mesh=mesh,
+        in_specs=(gspec2, gspec2, gspec, cspec, gspec, gspec2, gspec2,
+                  gspec, gspec, SP()),
+        out_specs=(SP(None, mesh_axis),) + res_spec, check_vma=False)
+
+    bwd_sharded = shard_map(
+        sbwd, mesh=mesh,
+        in_specs=res_spec + (SP(None, mesh_axis),
+                             SP(None, mesh_axis), SP(None, mesh_axis), SP()),
+        out_specs=(gspec2, gspec2, gspec, SP(None, mesh_axis, None),
+                   gspec2, SP()), check_vma=False)
+
+    def _pad_gT(x):
+        pad = T_shpad - T_tiles
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:1] + (pad,) + x.shape[2:], x.dtype)],
+            axis=1)
+
+    def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
+                rect_max, tiles_touched, valid, bg):
+        outs = fwd_sharded(mean2d, conic, opacity, colors_stack, depth,
+                           rect_min, rect_max, tiles_touched, valid, bg)
+        pack_stack, res = outs[0], outs[1:]
+        final_t = pack_stack[:, :T_tiles, :, 3]
+        C_out = (pack_stack[:, :T_tiles, :, 0:3]
+                 + final_t[..., None] * bg[None, None, None, :])
+        return C_out, final_t, pack_stack, res
+
+    @jax.custom_vjp
+    def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+              depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        C_out, final_t, _, _ = forward(mean2d, conic, opacity, colors_stack,
+                                       depth, rect_min, rect_max,
+                                       tiles_touched, valid, bg)
+        return C_out, final_t
+
+    def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
+            depth, rect_min, rect_max, tiles_touched, valid):
+        del absgrad_hook
+        C_out, final_t, pack_stack, res = forward(
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
+            tiles_touched, valid, bg)
+        return (C_out, final_t), (pack_stack, res, bg)
+
+    def bwd(resids, cot):
+        pack_stack, res, bg = resids
+        gC, gT = cot                       # [np,T,P,3], [np,T,P]
+        dmean2d, dconic, dop, dcolors, dabs, dbg = bwd_sharded(
+            *res, pack_stack, _pad_gT(gC), _pad_gT(gT), bg)
+        d_depth = jnp.zeros((n,), jnp.float32)
+        zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
+        return (dmean2d, dconic, dop, dcolors, dabs, dbg,
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
+
+    blend.defvjp(fwd, bwd)
+    return blend
+
+
 PRESORT_NB = (1 << 24) - 1   # depth keyspace: positive-f32 bit patterns >> 8
 
 
@@ -1509,15 +1925,26 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
-    binning: "partition" (radix partition engine, production) or "sort"
-    (single wide lax.sort, the v2 design kept for A/B comparison).
-    With a `mesh`, the partition path shards blend + backward kernels over
-    contiguous tile ranges (one per device) and psums Gaussian gradients.
+    binning: "sort" (single wide lax.sort — the production engine,
+    single-chip AND sharded), "partition" (radix partition engine; under a
+    mesh it replicates binning and shards only the kernels), or "gather"
+    (the CUDA-shaped pipeline, kept for A/B). Under a mesh the sort engine
+    shards Gaussians across devices and exchanges binned entries with one
+    all-to-all (_make_sharded_sort_blend_vjp).
     """
     n = mean2d.shape[0]
-    if mesh is not None:
-        binning = "partition"   # the only shard-capable binning
-    if binning == "partition":
+    if mesh is not None and binning == "gather":
+        binning = "sort"        # gather has no sharded path
+    if mesh is not None and binning == "sort":
+        D = int(mesh.shape[mesh_axis])
+        if n % D:
+            raise ValueError(
+                f"sharded sort engine needs n ({n}) divisible by the mesh "
+                f"axis ({D}); pad the Gaussian capacity")
+        blend = _make_sharded_sort_blend_vjp(
+            grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
+            d_small, big_fraction, mesh, mesh_axis, pack16)
+    elif binning == "partition":
         # the partition/gather engines bin raw rect cells (no corner-cull
         # compaction), so they need the raw-rect slot budget: the default
         # d_small=4 is calibrated for the sort path's visible-cell
