@@ -148,3 +148,41 @@ def test_cli_debug_train(tmp_path, rng):
         results = json.load(fh)
     assert np.isfinite(results["metrics"]["psnr"])
     assert results["metrics"]["psnr"] > 10
+
+
+def test_cli_debug_snapshot_on_nonfinite(tmp_path, rng, monkeypatch):
+    """--debug dumps the replayable PRE-step state when a step goes
+    non-finite (the reference rasterizer's debug-pickle analogue)."""
+    from click.testing import CliRunner
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    from wildgaussians_tpu.train import train_command
+
+    data = make_colmap_scene(tmp_path / "data", rng, n_cams=4, n_points=60)
+    out = tmp_path / "out"
+    orig = WildGaussians.train_iteration
+
+    def poisoned(self, step):
+        metrics = orig(self, step)
+        if step == 3:
+            metrics["loss"] = float("nan")
+        return metrics
+
+    monkeypatch.setattr(WildGaussians, "train_iteration", poisoned)
+    runner = CliRunner()
+    result = runner.invoke(train_command, [
+        "--data", str(data), "--output", str(out), "--debug",
+        "--set", "uncertainty_mode=disabled",
+        "--set", "appearance_enabled=false",
+        "--set", "num_sky_gaussians=0",
+        "--set", "sh_degree=1",
+    ], catch_exceptions=True)
+    assert result.exit_code != 0
+    assert isinstance(result.exception, RuntimeError)
+    assert "non-finite loss at step 3" in str(result.exception)
+    snap = out / "debug-snapshot-3.npz"
+    assert snap.exists()
+    state = np.load(str(snap))
+    assert "params/xyz" in state
+    with open(out / "debug-snapshot-3.json", encoding="utf8") as fh:
+        info = json.load(fh)
+    assert info["step"] == 3 and info["camera_id"] is not None

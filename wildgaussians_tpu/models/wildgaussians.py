@@ -394,6 +394,7 @@ class WildGaussians:
         if not self._viewpoint_stack:
             self._viewpoint_stack = list(range(len(self.train_cameras)))
         camera_id = self._viewpoint_stack.pop(random.randint(0, len(self._viewpoint_stack) - 1))
+        self._last_camera_id = camera_id   # debug-snapshot provenance
 
         gt = jnp.asarray(self._train_images[camera_id])
         pixmask = jnp.asarray(self._pixmask[camera_id])

@@ -313,11 +313,34 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
     step = start_step = info.get("loaded_step") or 0
     pbar = tqdm(range(start_step, num_iterations), miniters=10,
                 desc="training", disable=debug)
+    pre_state = None
     for step in pbar:
+        if debug:
+            # rolling PRE-step snapshot: the analogue of the reference
+            # rasterizer's debug mode, which pickles the forward/backward
+            # input tensors so a crash can be replayed offline
+            # (diff_gaussian_rasterization/__init__.py:85-92,150-157).
+            # Here the whole step is one jitted program, so the replayable
+            # unit is the full pre-step trainer state.
+            pre_state = {k: np.asarray(v)
+                         for k, v in method._state_dict().items()}
         if profile_dir is not None and step == 20:
             import jax
             jax.profiler.start_trace(profile_dir)
         metrics = method.train_iteration(step)
+        if debug and not np.isfinite(metrics.get("loss", float("nan"))):
+            snap = output_path / f"debug-snapshot-{step}.npz"
+            np.savez(str(snap), **pre_state)
+            with open(output_path / f"debug-snapshot-{step}.json", "w",
+                      encoding="utf8") as f:
+                json.dump({"step": step,
+                           "camera_id": getattr(method, "_last_camera_id",
+                                                None),
+                           "metrics": {k: float(v)
+                                       for k, v in metrics.items()}}, f)
+            raise RuntimeError(
+                f"non-finite loss at step {step}; pre-step state dumped to "
+                f"{snap} (reload with WildGaussians 'checkpoint' npz format)")
         if profile_dir is not None and step == 40:
             import jax
             jax.profiler.stop_trace()
