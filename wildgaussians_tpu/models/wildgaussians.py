@@ -296,6 +296,16 @@ class WildGaussians:
         def train_step(params, adam, aux, camera_id, gt, pixmask,
                        mask, iteration, densify_enabled, poses, intrs, sizes,
                        unc_inputs):
+            # under a mesh, the store lives sharded on the Gaussian axis:
+            # constraining inputs AND outputs keeps params/Adam/aux (and all
+            # elementwise per-Gaussian work between them) at 1/D memory per
+            # device across steps, feeding the sharded sort engine with no
+            # resharding (parallel/mesh.shard_store)
+            from ..parallel.mesh import shard_store
+            ncap = params["xyz"].shape[0]
+            params = shard_store(params, ncap)
+            adam = shard_store(adam, ncap)
+            aux = shard_store(aux, ncap)
             pose = poses[camera_id]
             intr = intrs[camera_id]
             actual_size = (sizes[camera_id, 0], sizes[camera_id, 1])
@@ -338,6 +348,9 @@ class WildGaussians:
                 lambda a, b: jnp.where(do_step, a, b), new_adam, adam)
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
+            params = shard_store(params, ncap)
+            adam = shard_store(adam, ncap)
+            aux = shard_store(aux, ncap)
             return params, adam, aux, metrics, new_bn
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2),

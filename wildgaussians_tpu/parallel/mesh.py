@@ -57,3 +57,22 @@ def replicated(x):
         return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*([None] * x.ndim))))
+
+
+def shard_store(tree, capacity: int):
+    """Constrain every [capacity, ...] array in a pytree to shard its
+    leading (Gaussian) axis over the mesh (no-op without a mesh).
+
+    The 1-axis mesh doubles as the Gaussian axis: the sharded sort engine
+    (rasterize_pallas._make_sharded_sort_blend_vjp) consumes per-Gaussian
+    arrays sharded exactly this way, so constraining the store makes the
+    WHOLE train step — get_gaussians, preprocess, Adam, densification
+    stats — scale 1/D in memory and FLOPs with no resharding collective
+    at the blend boundary (the >HBM-count tensor-parallel path)."""
+    mesh = current_mesh()
+    if mesh is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda a: shard_tiles(a)
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == capacity else a,
+        tree)
