@@ -132,6 +132,17 @@ class Config:
     initial_capacity: int = 0  # 0 = derived from the initial point count
     # Sharding: number of devices along the 'tiles' mesh axis (0 = all).
     mesh_tile_devices: int = 0
+    # Shard the Gaussian store (params/Adam/aux) over the mesh axis inside
+    # the train step: 1/D memory per device end-to-end (preprocess, Adam,
+    # densify stats), feeding the sharded sort engine with no resharding
+    # and shard-owned gradients. The store-updating functions run as
+    # AOT-compiled executables under a mesh (wildgaussians._aot_under_mesh)
+    # because jax 0.9's C++ dispatch fastpath mis-executes the third call
+    # of jits containing the engine's shard_map+all_to_all. False (leave
+    # interface shardings to GSPMD) is only valid for single-function use:
+    # in multi-step training the step/densify/reset executables pick
+    # DISAGREEING interface shardings and the handoff fails.
+    shard_gaussian_store: bool = True
     # Mixed-resolution train canvases: 0 pads every train image to the
     # dataset-wide max (one compiled step). >0 rounds each image's canvas up
     # to this multiple instead, compiling one step program per distinct

@@ -129,7 +129,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             d_small=getattr(config, "pallas_d_small", 4),
             big_fraction=getattr(config, "pallas_big_fraction", 0.16),
             binning=getattr(config, "pallas_binning", "sort"),
-            mesh=current_mesh())
+            mesh=current_mesh(),
+            grads_sharded=getattr(config, "shard_gaussian_store", False))
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(

@@ -47,6 +47,30 @@ def scale_grads(values, scale):
     return values * scale + jax.lax.stop_gradient(values) * (1 - scale)
 
 
+def _aot_under_mesh(fn):
+    """Under an active mesh, call `fn` through an AOT-compiled executable.
+
+    jax 0.9's C++ dispatch fastpath (which engages on a jit function's THIRD
+    call) mis-handles the lifted constants of programs containing the
+    gaussian-sharded sort engine's shard_map+all_to_all (IndexError /
+    buffer-count mismatches during argument sharding). lower().compile() on
+    first call and invoking the executable directly uses the plain
+    shard_args path — the one the first two (working) calls take — forever.
+    Single-chip (no mesh) keeps the normal jit dispatch untouched."""
+    from ..parallel.mesh import current_mesh
+    if current_mesh() is None:
+        return fn
+
+    compiled = None
+
+    def call(*args):
+        nonlocal compiled
+        if compiled is None:
+            compiled = fn.lower(*args).compile()
+        return compiled(*args)
+    return call
+
+
 class WildGaussians:
     """Method protocol implementation (reference types.py:316-406)."""
 
@@ -194,7 +218,7 @@ class WildGaussians:
         cached = self._step_cache.get((pad_w, pad_h))
         if cached is not None:
             return cached
-        fn = self._build_train_step(pad_w, pad_h)
+        fn = _aot_under_mesh(self._build_train_step(pad_w, pad_h))
         self._step_cache[(pad_w, pad_h)] = fn
         return fn
 
@@ -301,11 +325,12 @@ class WildGaussians:
             # elementwise per-Gaussian work between them) at 1/D memory per
             # device across steps, feeding the sharded sort engine with no
             # resharding (parallel/mesh.shard_store)
-            from ..parallel.mesh import shard_store
-            ncap = params["xyz"].shape[0]
-            params = shard_store(params, ncap)
-            adam = shard_store(adam, ncap)
-            aux = shard_store(aux, ncap)
+            if config.shard_gaussian_store:
+                from ..parallel.mesh import shard_store
+                ncap = params["xyz"].shape[0]
+                params = shard_store(params, ncap)
+                adam = shard_store(adam, ncap)
+                aux = shard_store(aux, ncap)
             pose = poses[camera_id]
             intr = intrs[camera_id]
             actual_size = (sizes[camera_id, 0], sizes[camera_id, 1])
@@ -348,13 +373,18 @@ class WildGaussians:
                 lambda a, b: jnp.where(do_step, a, b), new_adam, adam)
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
-            params = shard_store(params, ncap)
-            adam = shard_store(adam, ncap)
-            aux = shard_store(aux, ncap)
             return params, adam, aux, metrics, new_bn
 
+        # Pin the OUTPUT shardings of the store explicitly: letting GSPMD
+        # pick them makes the (donated) input-sharding signature drift
+        # between calls — each drift relowers the program, and jax 0.9's
+        # dispatch fastpath mis-executes across those relowers (buffer-count
+        # mismatches / IndexError during argument sharding). With pinned
+        # out_shardings (and _commit_store_to_mesh pinning the first call's
+        # inputs) every step has an identical signature.
         return jax.jit(train_step, donate_argnums=(0, 1, 2),
-                       static_argnames=())
+                       out_shardings=self._store_out_shardings(
+                           n_extra_outputs=2))
 
     @functools.cached_property
     def _densify_fn(self):
@@ -363,7 +393,13 @@ class WildGaussians:
         def run(key, params, adam, aux, extent, enable_size_pruning):
             return gs.densify_and_prune(key, params, adam, aux, config,
                                         extent, enable_size_pruning)
-        return jax.jit(run, donate_argnums=(1, 2, 3))
+        # keep the store sharded across densify (mesh-active trainings);
+        # the internal global sorts/cumsums reshard as XLA needs, but the
+        # interface layout stays pinned at 1/D per device — see the
+        # out_shardings rationale in _build_train_step
+        return _aot_under_mesh(jax.jit(
+            run, donate_argnums=(1, 2, 3),
+            out_shardings=self._store_out_shardings(n_extra_outputs=1)))
 
     @functools.cached_property
     def _reset_opacity_fn(self):
@@ -371,7 +407,10 @@ class WildGaussians:
 
         def run(params, adam, aux):
             return gs.reset_opacity(params, adam, aux, config)
-        return jax.jit(run, donate_argnums=(0, 1))
+        shardings = self._store_out_shardings(n_extra_outputs=0)
+        return _aot_under_mesh(jax.jit(
+            run, donate_argnums=(0, 1),
+            out_shardings=None if shardings is None else shardings[:2]))
 
     # --------------------------------------------------------------- protocol
 
@@ -398,6 +437,7 @@ class WildGaussians:
         assert self.train_cameras is not None, "Method not initialized"
         self.step = step
         iteration = step + 1
+        self._commit_store_to_mesh()
 
         # SH warmup (method.py:1894-1895)
         if iteration % 1000 == 0:
@@ -462,6 +502,69 @@ class WildGaussians:
         self.step = step + 1
         return out
 
+    def _store_out_shardings(self, n_extra_outputs: int):
+        """(params, adam, aux, *extras) output-sharding pytree for jitted
+        store-updating functions, or None without a mesh.
+
+        Under a mesh the interface MUST be pinned either way: left to GSPMD,
+        the sharded sort engine's gradient out_specs propagate into the
+        returned params and the chosen output shardings drift between
+        relowers — and jax 0.9's dispatch fastpath mis-executes donated
+        calls across that drift (see config.py: shard_gaussian_store).
+        shard_gaussian_store=True pins [capacity, ...] arrays to the
+        Gaussian axis (1/D memory); False pins everything replicated."""
+        from ..parallel.mesh import current_mesh, TILE_AXIS
+        mesh = current_mesh()
+        if mesh is None or not self.config.shard_gaussian_store:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        repl = NamedSharding(mesh, PartitionSpec())
+        store_sh = NamedSharding(mesh, PartitionSpec(TILE_AXIS))
+        ncap = self.params["xyz"].shape[0]
+
+        def tree_sh(t):
+            return jax.tree_util.tree_map(
+                lambda a: store_sh
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == ncap
+                else repl, t)
+
+        return (tree_sh(self.params), tree_sh(self.adam), tree_sh(self.aux)
+                ) + (repl,) * n_extra_outputs
+
+    def _commit_store_to_mesh(self):
+        """Eagerly device_put the store onto the active mesh (Gaussian axis).
+
+        The jitted step also CONSTRAINS its outputs this way
+        (parallel/mesh.shard_store), but the first step after setup or a
+        capacity regrow would otherwise see uncommitted inputs — the
+        input-sharding signature churn across donated calls is both a
+        recompile and a known jit fastpath hazard. Committing up front keeps
+        every step's signature identical."""
+        from ..parallel.mesh import current_mesh, TILE_AXIS
+        mesh = current_mesh()
+        if (mesh is None or not self.config.shard_gaussian_store
+                or getattr(self, "_store_on_mesh", None) is mesh):
+            return
+        from jax.sharding import NamedSharding, PartitionSpec
+        ncap = self.params["xyz"].shape[0]
+        # EXACTLY the sharding _store_out_shardings pins on outputs — any
+        # difference (even the equivalent full-rank spec) changes the input
+        # signature between step 0 and step 1, forcing a relower that jax
+        # 0.9's dispatch fastpath then mis-executes
+        store_sh = NamedSharding(mesh, PartitionSpec(TILE_AXIS))
+
+        def put(tree):
+            def one(a):
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == ncap:
+                    return jax.device_put(a, store_sh)
+                return a
+            return jax.tree_util.tree_map(one, tree)
+
+        self.params = put(self.params)
+        self.adam = put(self.adam)
+        self.aux = jax.tree_util.tree_map(lambda x: x, put(self.aux))
+        self._store_on_mesh = mesh
+
     def _maybe_grow_tile_budget(self, overflow: float):
         """Auto-bump the per-Gaussian tile budget on persistent truncation.
 
@@ -521,10 +624,13 @@ class WildGaussians:
                         capacity, new_capacity, n_alive, dropped)
             self.params, self.adam, self.aux = gs.grow_capacity(
                 self.params, self.adam, self.aux, new_capacity)
-            # shapes changed: drop compiled functions
+            # shapes changed: drop compiled functions and re-commit the
+            # (new, uncommitted) store arrays to any active mesh
             self._step_cache.clear()
             self.__dict__.pop("_densify_fn", None)
             self.__dict__.pop("_reset_opacity_fn", None)
+            self._store_on_mesh = None
+            self._commit_store_to_mesh()
 
     # ----------------------------------------------------------------- render
 

@@ -144,11 +144,14 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
     _sort_entries): row 0 = (x_rel, y_rel) wrt the tile origin (px/py must
     then be tile-local), rows 1-3 conic f32, row 5 lo half = opacity."""
     if packed:
+        # row 0: (x_rel, y_rel); row 1: (ca, cc) — the diagonal conic terms
+        # are positive with f16-friendly range (1e-4..11 = 1/sigma^2 over
+        # 0.3..100 px footprints; 5e-4 rel error ~ the xy f16 budget); row 2
+        # keeps the cancellation-sensitive cross term cb in f32
         x, y = _unpack_row(entries, 0)
-        ca = entries[1:2, :]
+        ca, cc = _unpack_row(entries, 1)
         cb = entries[2:3, :]
-        cc = entries[3:4, :]
-        _b0, op = _unpack_row(entries, 5)
+        _b0, op = _unpack_row(entries, 4)
     else:
         x = entries[a0:a0 + 1, :]
         y = entries[a0 + 1:a0 + 2, :]
@@ -323,10 +326,9 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             st["t_at"] * cg - (suffix + gt_eff * final_t) / one_m_a, 0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
         if packed:
-            _b0, op = _unpack_row(entries, 5)
-            ca = entries[1:2, :]
+            _b0, op = _unpack_row(entries, 4)
+            ca, cc = _unpack_row(entries, 1)
             cb = entries[2:3, :]
-            cc = entries[3:4, :]
         else:
             op = entries[a0 + 5:a0 + 6, :]
             ca = entries[a0 + 2:a0 + 3, :]
@@ -631,8 +633,8 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     # packed table rows: xy(1) + conic(3) + 2 per color pass; unpacked
     # (exact-parity mode): xy(2) + conic(3) + op(1) + 3 per pass
     if pack16:
-        table_w = ((4 + 2 * n_passes + 7) // 8) * 8
-        col0s = [4 + 2 * i for i in range(n_passes)]
+        table_w = ((3 + 2 * n_passes + 7) // 8) * 8
+        col0s = [3 + 2 * i for i in range(n_passes)]
     else:
         table_w = ((6 + 3 * n_passes + 7) // 8) * 8
         col0s = [6 + 3 * i for i in range(n_passes)]
@@ -745,13 +747,14 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                 parts += [col[bl]] * d2_extra
             return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-        # payload rows, pack16 (f16-pair u32 except conic, which carries
-        # the only cancellation-sensitive math): xy | ca | cb | cc |
-        # (r,g) | (b,op), then (r,g),(b,-) per extra color pass.
+        # payload rows, pack16 (f16-pair u32 except cb, the cancellation-
+        # sensitive conic cross term): xy | (ca,cc) | cb | (r,g) | (b,op),
+        # then (r,g),(b,-) per extra color pass.
         # pack16=False: plain f32 rows, absolute means (exact parity mode).
         if pack16:
             payload = [xy_all,
-                       attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+                       attr(_pack2_f16(conic[:, 0], conic[:, 2])),
+                       attr(conic[:, 1]),
                        attr(_pack2_f16(colors_stack[0, :, 0],
                                        colors_stack[0, :, 1])),
                        attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
@@ -923,7 +926,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                                  n_passes: int = 1, d_small: int = 4,
                                  big_fraction: float = 0.16,
                                  mesh=None, mesh_axis: str = "tiles",
-                                 pack16: bool = True, send_beta: float = 2.0):
+                                 pack16: bool = True, send_beta: float = 2.0,
+                                 grads_sharded: bool = False):
     """Gaussian-sharded sort engine (v5): the production binning under a mesh.
 
     The TPU-native analogue of multi-GPU Gaussian splatting: Gaussians are
@@ -989,8 +993,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     ts = float(grid.tile_size)
 
     if pack16:
-        table_w = _round_up(4 + 2 * n_passes, 8)
-        col0s = [4 + 2 * i for i in range(n_passes)]
+        table_w = _round_up(3 + 2 * n_passes, 8)
+        col0s = [3 + 2 * i for i in range(n_passes)]
     else:
         table_w = _round_up(6 + 3 * n_passes, 8)
         col0s = [6 + 3 * i for i in range(n_passes)]
@@ -1070,7 +1074,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         if pack16:
             payload = [jnp.concatenate(xy_parts),
-                       attr(conic[:, 0]), attr(conic[:, 1]), attr(conic[:, 2]),
+                       attr(_pack2_f16(conic[:, 0], conic[:, 2])),
+                       attr(conic[:, 1]),
                        attr(_pack2_f16(colors_stack[0, :, 0],
                                        colors_stack[0, :, 1])),
                        attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
@@ -1325,6 +1330,19 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         gC, gT = cot                       # [np,T,P,3], [np,T,P]
         dmean2d, dconic, dop, dcolors, dabs, dbg = bwd_sharded(
             *res, pack_stack, _pad_gT(gC), _pad_gT(gT), bg)
+        if not grads_sharded:
+            # hand back REPLICATED Gaussian grads (the partition engine's
+            # psum contract): callers keeping a replicated store would
+            # otherwise inherit our shard-owned out_specs through GSPMD
+            # propagation, and the resulting output-sharding drift across
+            # steps trips jax 0.9's dispatch fastpath on donated jits.
+            # Shard-owned grads (no all-gather) are the
+            # config.shard_gaussian_store mode.
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = lambda x: jax.lax.with_sharding_constraint(  # noqa: E731
+                x, NamedSharding(mesh, PartitionSpec()))
+            dmean2d, dconic, dop, dcolors, dabs = map(
+                repl, (dmean2d, dconic, dop, dcolors, dabs))
         d_depth = jnp.zeros((n,), jnp.float32)
         zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
         return (dmean2d, dconic, dop, dcolors, dabs, dbg,
@@ -1921,7 +1939,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            max_tiles_per_gaussian: int = 16,
                            d_small: int = 4, big_fraction: float = 0.16,
                            binning: str = "sort", mesh=None,
-                           mesh_axis: str = "tiles", pack16: bool = True):
+                           mesh_axis: str = "tiles", pack16: bool = True,
+                           grads_sharded: bool = False):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
@@ -1943,7 +1962,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                 f"axis ({D}); pad the Gaussian capacity")
         blend = _make_sharded_sort_blend_vjp(
             grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
-            d_small, big_fraction, mesh, mesh_axis, pack16)
+            d_small, big_fraction, mesh, mesh_axis, pack16,
+            grads_sharded=grads_sharded)
     elif binning == "partition":
         # the partition/gather engines bin raw rect cells (no corner-cull
         # compaction), so they need the raw-rect slot budget: the default
