@@ -117,10 +117,11 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         dist = jnp.linalg.norm(means3d - camera.campos[None], axis=-1)
         passes.append(("depth", jnp.tile(dist[:, None], (1, 3))))
 
+    raster_aux = {}
     if backend == "pallas":
         from ..ops.rasterize_pallas import rasterize_pallas_multi
         from ..parallel.mesh import current_mesh
-        outs = rasterize_pallas_multi(
+        outs, raster_aux = rasterize_pallas_multi(
             pre.mean2d, pre.conic, pre.opacity,
             [c for _tag, c in passes], absgrad_hook,
             pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched,
@@ -130,7 +131,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             big_fraction=getattr(config, "pallas_big_fraction", 0.16),
             binning=getattr(config, "pallas_binning", "sort"),
             mesh=current_mesh(),
-            grads_sharded=getattr(config, "shard_gaussian_store", False))
+            grads_sharded=getattr(config, "shard_gaussian_store", False),
+            return_aux=True)
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(
@@ -162,6 +164,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         big_fraction=getattr(config, "pallas_big_fraction", 0.16),
         binning=getattr(config, "pallas_binning", "sort"),
         grid=grid)
+    # the sharded engine's send-cap drops are real truncated contributions
+    overflow = overflow + raster_aux.get("send_drops", 0)
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
                      depth=depth, num_rendered=num_rendered,

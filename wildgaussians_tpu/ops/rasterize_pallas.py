@@ -1164,9 +1164,14 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             (pack,) = calls[i][0](tb, starts, counts, table)
             packs.append(pack)
         pack_stack = jnp.stack(packs)            # [np, T_band, P_PIX, 8]
+        # send-cap accounting (NO silent caps): entries beyond C in any
+        # (sender, band) segment were dropped from the exchange
+        seg_sizes = seg[1:] - seg[:-1]
+        send_drops = jax.lax.psum(
+            jnp.sum(jnp.maximum(seg_sizes - C, 0)), mesh_axis)
         res = (table[None], ridx_sorted[None], seg[None], sflat[None],
                big_list[None], starts[None])
-        return (pack_stack,) + res
+        return (pack_stack, send_drops) + res
 
     def sbwd(table, ridx_sorted, seg, sflat, big_list, starts, pack_stack,
              gC, gT, bg):
@@ -1281,7 +1286,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         sfwd, mesh=mesh,
         in_specs=(gspec2, gspec2, gspec, cspec, gspec, gspec2, gspec2,
                   gspec, gspec, SP()),
-        out_specs=(SP(None, mesh_axis),) + res_spec, check_vma=False)
+        out_specs=(SP(None, mesh_axis), SP()) + res_spec, check_vma=False)
 
     bwd_sharded = shard_map(
         sbwd, mesh=mesh,
@@ -1302,32 +1307,32 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                 rect_max, tiles_touched, valid, bg):
         outs = fwd_sharded(mean2d, conic, opacity, colors_stack, depth,
                            rect_min, rect_max, tiles_touched, valid, bg)
-        pack_stack, res = outs[0], outs[1:]
+        pack_stack, send_drops, res = outs[0], outs[1], outs[2:]
         final_t = pack_stack[:, :T_tiles, :, 3]
         C_out = (pack_stack[:, :T_tiles, :, 0:3]
                  + final_t[..., None] * bg[None, None, None, :])
-        return C_out, final_t, pack_stack, res
+        return C_out, final_t, send_drops, pack_stack, res
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
               depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C_out, final_t, _, _ = forward(mean2d, conic, opacity, colors_stack,
-                                       depth, rect_min, rect_max,
-                                       tiles_touched, valid, bg)
-        return C_out, final_t
+        C_out, final_t, send_drops, _, _ = forward(
+            mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
+            tiles_touched, valid, bg)
+        return C_out, final_t, send_drops
 
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
             depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C_out, final_t, pack_stack, res = forward(
+        C_out, final_t, send_drops, pack_stack, res = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid, bg)
-        return (C_out, final_t), (pack_stack, res, bg)
+        return (C_out, final_t, send_drops), (pack_stack, res, bg)
 
     def bwd(resids, cot):
         pack_stack, res, bg = resids
-        gC, gT = cot                       # [np,T,P,3], [np,T,P]
+        gC, gT, _g_drops = cot             # [np,T,P,3], [np,T,P], []
         dmean2d, dconic, dop, dcolors, dabs, dbg = bwd_sharded(
             *res, pack_stack, _pad_gT(gC), _pad_gT(gT), bg)
         if not grads_sharded:
@@ -1940,7 +1945,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            d_small: int = 4, big_fraction: float = 0.16,
                            binning: str = "sort", mesh=None,
                            mesh_axis: str = "tiles", pack16: bool = True,
-                           grads_sharded: bool = False):
+                           grads_sharded: bool = False,
+                           return_aux: bool = False):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
@@ -1982,12 +1988,19 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                                        len(colors_list), d_small,
                                        big_fraction, pack16)
     stack = jnp.stack(colors_list)
-    C_t, T_t = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
-                     pre_depth, pre_rect_min, pre_rect_max,
-                     jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
-                     pre_valid)
-    return [(tiles_to_image(C_t[i], grid), tiles_to_image(T_t[i], grid))
-            for i in range(len(colors_list))]
+    out = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
+                pre_depth, pre_rect_min, pre_rect_max,
+                jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
+                pre_valid)
+    # the sharded engine also reports its send-cap drop count (no silent
+    # caps); single-chip engines never truncate the exchange
+    C_t, T_t = out[0], out[1]
+    send_drops = out[2] if len(out) > 2 else jnp.int32(0)
+    images = [(tiles_to_image(C_t[i], grid), tiles_to_image(T_t[i], grid))
+              for i in range(len(colors_list))]
+    if return_aux:
+        return images, {"send_drops": send_drops}
+    return images
 
 
 def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
