@@ -143,6 +143,19 @@ def init_params_from_points(config: Config, xyz: np.ndarray, colors_u8: np.ndarr
     n = xyz.shape[0]
     assert n <= capacity, f"{n} points > capacity {capacity}"
 
+    # Shuffle the initial points across the store (seeded): slot order is
+    # semantically irrelevant single-chip, but the sharded sort engine
+    # partitions the store into CONTIGUOUS per-device blocks — COLMAP files
+    # are spatially ordered and the sky points arrive appended at the end,
+    # so without a shuffle one shard owns all the big-footprint Gaussians
+    # and its per-shard big pool (and send caps) saturate first.
+    perm = rng.permutation(n)
+    xyz = xyz[perm]
+    colors_u8 = colors_u8[perm]
+    knn_dist2 = np.asarray(knn_dist2)[perm]
+    if opacities is not None:
+        opacities = np.asarray(opacities)[perm]
+
     def pad(x, width):
         out = np.zeros((capacity, width), np.float32)
         out[:n] = x
