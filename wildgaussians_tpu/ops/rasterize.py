@@ -94,7 +94,9 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         big_fraction: float = 0.16,
                         binning: str = "sort",
                         pack16: bool = True,
-                        scale_modifier: float = 1.0) -> RasterizeResult:
+                        scale_modifier: float = 1.0,
+                        cov3d: Optional[jnp.ndarray] = None,
+                        mean2d_hook: Optional[jnp.ndarray] = None) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
     reference method, method.py:1574-1608).
@@ -108,9 +110,13 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     if absgrad_hook is None:
         absgrad_hook = jnp.zeros((n, 2), jnp.float32)
 
-    cov3d = compute_cov3d(scales, rotations, scale_modifier)
+    if cov3d is None:
+        cov3d = compute_cov3d(scales, rotations, scale_modifier)
     pre = preprocess(means3d, cov3d, opacities, camera, width, height,
                      kernel_size, tile_size=tile_size, alive=alive)
+    if mean2d_hook is not None:
+        # screen-space gradient hook (the reference's means2D dummy tensor)
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_hook)
 
     if backend == "reference":
         color, final_t = rasterize_reference(
