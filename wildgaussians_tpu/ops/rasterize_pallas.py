@@ -1946,7 +1946,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            binning: str = "sort", mesh=None,
                            mesh_axis: str = "tiles", pack16: bool = True,
                            grads_sharded: bool = False,
-                           return_aux: bool = False):
+                           return_aux: bool = False,
+                           send_beta: float = 2.0):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
@@ -1969,7 +1970,7 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
         blend = _make_sharded_sort_blend_vjp(
             grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
             d_small, big_fraction, mesh, mesh_axis, pack16,
-            grads_sharded=grads_sharded)
+            send_beta=send_beta, grads_sharded=grads_sharded)
     elif binning == "partition":
         # the partition/gather engines bin raw rect cells (no corner-cull
         # compaction), so they need the raw-rect slot budget: the default
