@@ -164,3 +164,54 @@ def test_pallas_two_tier_big_gaussians(rng, binning):
         scale = np.abs(np.asarray(gr)).max() + 1e-12
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=5e-3 * scale, rtol=5e-2)
+
+
+def test_pallas_multi_pass_grads_match_single(rng):
+    """Gradients of a 2-pass render (shared sort, per-pass colors) must
+    match two independent single passes — exercises the multi-pass
+    decode/accumulate of the kernel-packed grad rows."""
+    import jax
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess
+    from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+    from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+
+    scene = make_scene(rng, n=150)
+    cam = make_camera(width=48, height=32)
+    params, w, h = wc.make_camera_params(cam)
+    cov3d = compute_cov3d(jnp.asarray(scene["scales"]),
+                          jnp.asarray(scene["rotations"]))
+    pre = preprocess(jnp.asarray(scene["xyz"]), cov3d,
+                     jnp.asarray(scene["opacities"]), params, w, h, 0.1)
+    grid = make_grid(w, h, 16)
+    c0 = jnp.asarray(scene["colors"])
+    c1 = 1.0 - c0
+    hook = jnp.zeros((150, 2), jnp.float32)
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+    geo = (pre.depth, pre.rect_min, pre.rect_max, pre.tiles_touched,
+           pre.valid)
+    tgt0 = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    tgt1 = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+
+    def loss_multi(m2d, con, op, a, b):
+        outs = rasterize_pallas_multi(m2d, con, op, [a, b], hook, *geo, b_g,
+                                      grid=grid)
+        return (jnp.mean((outs[0][0] - tgt0) ** 2)
+                + 2.0 * jnp.mean((outs[1][0] - tgt1) ** 2))
+
+    def loss_single(m2d, con, op, a, b):
+        ((i0, _),) = rasterize_pallas_multi(m2d, con, op, [a], hook, *geo,
+                                            b_g, grid=grid)
+        ((i1, _),) = rasterize_pallas_multi(m2d, con, op, [b], hook, *geo,
+                                            b_g, grid=grid)
+        return (jnp.mean((i0 - tgt0) ** 2) + 2.0 * jnp.mean((i1 - tgt1) ** 2))
+
+    b_g = bg
+    args = (pre.mean2d, pre.conic, pre.opacity, c0, c1)
+    gm = jax.grad(loss_multi, argnums=(0, 1, 2, 3, 4))(*args)
+    gs = jax.grad(loss_single, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gm, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        # the multi-pass geo grads decode+sum f16-packed per-pass rows; the
+        # single passes sum after the un-sort — bounded by f16 quantization
+        np.testing.assert_allclose(a, b, atol=2e-3 * (np.abs(b).max() + 1e-8))

@@ -52,6 +52,7 @@ from .rasterize_tiled import (ALPHA_MAX, ALPHA_MIN, T_EPS, TileGrid,
 
 P_PIX = 256  # 16x16 tile
 ATTR_W = 16
+GRAD_W = 8   # backward grad rows when packed in-kernel (6 used + pad)
 _HIGH = jax.lax.Precision.HIGHEST
 
 
@@ -87,6 +88,35 @@ def _f16_bits(x):
 def _pack2_f16(hi, lo):
     """Pack two f32 rows into one u32 row of f16 pairs (XLA level)."""
     return (_f16_bits(hi) << 16) | _f16_bits(lo)
+
+
+def _f16_bits_k(x):
+    """_f16_bits for INSIDE kernels: same encoding, Mosaic-safe ops.
+
+    Differences from the XLA version: the subnormal round is
+    floor(|x|*2^24 + 0.5) (round-half-up; Mosaic has no round-to-even
+    primitive — the <=2^-25 tie difference is far below the grad-sum noise
+    floor), |x| is clamped before the f32->int convert so every lane's
+    convert is in-range, and the int cast goes through s32 (u32 converts
+    are less uniformly supported in Mosaic)."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (b >> 16) & jnp.uint32(0x8000)
+    absb = b & jnp.uint32(0x7FFFFFFF)
+    lsb = (absb >> 13) & jnp.uint32(1)
+    r = absb + jnp.uint32(0xFFF) + lsb
+    exp = r >> 23
+    h = ((r - jnp.uint32(112 << 23)) >> 13) & jnp.uint32(0x7FFF)
+    xa = jnp.minimum(jnp.abs(x), 2.0 ** -14)
+    sub = jnp.floor(xa * 16777216.0 + 0.5).astype(jnp.int32).astype(jnp.uint32)
+    h = jnp.where(exp < 113, sub,
+                  jnp.where(exp > 142, jnp.uint32(0x7BFF), h))
+    return sign | h
+
+
+def _pack2_f16_k(hi, lo):
+    """In-kernel f16-pair pack; result bitcast to f32 for f32 buffers."""
+    word = (_f16_bits_k(hi) << 16) | _f16_bits_k(lo)
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
 
 
 def _f16_bits_to_f32(h):
@@ -263,7 +293,7 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
 def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
                 *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0,
-                packed: bool = False):
+                packed: bool = False, grad_packed: bool = False):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -376,16 +406,35 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
             dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        g = jnp.concatenate([
-            dmx, dmy, dca, dcb, dcc,
-            dop,
-            dcol,
-            # separate |dx| / |dy| channels so the caller can apply the
-            # reference's NDC factors (0.5*W vs 0.5*H, backward.cu:593-595)
-            jnp.sum(jnp.abs(dmx_pix), axis=0, keepdims=True),
-            jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True),
-            jnp.zeros((ATTR_W - 11, K), jnp.float32),
-        ], axis=0)
+        # separate |dx| / |dy| channels so the caller can apply the
+        # reference's NDC factors (0.5*W vs 0.5*H, backward.cu:593-595)
+        dabsx = jnp.sum(jnp.abs(dmx_pix), axis=0, keepdims=True)
+        dabsy = jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True)
+        if grad_packed:
+            # pack the per-entry gradients to f16 pairs IN-KERNEL: halves
+            # the grad write-back DMA (16 -> 8 rows) and hands the backward
+            # un-sort its payload rows ready-made. The downstream precision
+            # is identical — the un-sort already f16-packed these at the
+            # XLA level. Row order matches the unpacked layout pairwise:
+            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0).
+            g = jnp.concatenate([
+                _pack2_f16_k(dmx, dmy),
+                _pack2_f16_k(dca, dcb),
+                _pack2_f16_k(dcc, dop),
+                _pack2_f16_k(dabsx, dabsy),
+                _pack2_f16_k(dcol[0:1], dcol[1:2]),
+                _pack2_f16_k(dcol[2:3], jnp.zeros_like(dop)),
+                jnp.zeros((GRAD_W - 6, K), jnp.float32),
+            ], axis=0)
+        else:
+            g = jnp.concatenate([
+                dmx, dmy, dca, dcb, dcc,
+                dop,
+                dcol,
+                dabsx,
+                dabsy,
+                jnp.zeros((ATTR_W - 11, K), jnp.float32),
+            ], axis=0)
         off = pl.multiple_of(astart + c * K, 128)
         gslot = jax.lax.rem(c, 2)
         # wait for the previous grad writeback using this slot (c-2)
@@ -461,7 +510,8 @@ def _interpret() -> bool:
 @functools.lru_cache(maxsize=64)
 def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
                        table_w: int = ATTR_W, col0: int = 6, a0: int = 0,
-                       T_prog: int = 0, packed: bool = False):
+                       T_prog: int = 0, packed: bool = False,
+                       grad_packed: bool = False):
     T_tiles = T_prog or grid.num_tiles   # programs (= tiles this call blends)
     interpret = _interpret()
 
@@ -471,6 +521,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
     # Annotating "parallel" (the obvious megacore move) would silently race
     # that merge; the merge needs a redesign (e.g. per-tile private head
     # blocks + a second reduction) before the grid can ever be parallelized.
+    GW = GRAD_W if grad_packed else ATTR_W
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
                           packed=packed),
@@ -492,7 +543,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
-                          packed=packed),
+                          packed=packed, grad_packed=grad_packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T_tiles,),
@@ -504,14 +555,14 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
             out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             scratch_shapes=[
                 pltpu.VMEM((2, table_w, K), jnp.float32),
-                pltpu.VMEM((2, ATTR_W, K), jnp.float32),
-                pltpu.VMEM((ATTR_W, K), jnp.float32),
+                pltpu.VMEM((2, GW, K), jnp.float32),
+                pltpu.VMEM((GW, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((ATTR_W, R_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((GW, R_pad), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True, dimension_semantics=("arbitrary",)),
         interpret=interpret,
@@ -638,7 +689,8 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     else:
         table_w = ((6 + 3 * n_passes + 7) // 8) * 8
         col0s = [6 + 3 * i for i in range(n_passes)]
-    calls = [_make_pallas_calls(grid, K, R_pad, table_w, c, packed=pack16)
+    calls = [_make_pallas_calls(grid, K, R_pad, table_w, c, packed=pack16,
+                                grad_packed=True)
              for c in col0s]
 
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
@@ -834,6 +886,7 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         geo_rows = None
         color_rows = []
+        packed_rows = None
         dbg = jnp.zeros((3,), jnp.float32)
         for i in range(n_passes):
             out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
@@ -846,28 +899,45 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                  jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
             (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), tile_starts,
                                 tile_counts, table, cot_pack, fwd_pack)
-            g_geo = jnp.concatenate([eg[0:6, :R], eg[9:11, :R]], axis=0)
-            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
-            color_rows.append(eg[6:9, :R])
+            # eg rows arrive f16-PAIR-packed from the kernel (grad_packed):
+            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0)
+            if n_passes == 1:
+                # single pass: the kernel output IS the un-sort payload
+                packed_rows = [
+                    jax.lax.bitcast_convert_type(eg[j, :R], jnp.uint32)
+                    for j in range(6)]
+            else:
+                # multi-pass: geo rows must SUM across passes — decode,
+                # accumulate, repack below
+                def dec(r):
+                    hi, lo = _unpack_row(eg[:, :R], r)
+                    return jnp.concatenate([hi, lo], axis=0)
+                g_geo = jnp.concatenate([dec(0), dec(1), dec(2), dec(3)],
+                                        axis=0)
+                geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+                color_rows.append(jnp.concatenate([dec(4), dec(5)[0:1]],
+                                                  axis=0))
             dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
                                    precision=_HIGH)
 
         # rows beyond the covered region were never written by the kernels
         covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
-        all_rows = [geo_rows[j] for j in range(8)]
-        for cr in color_rows:
-            all_rows += [cr[0], cr[1], cr[2]]
-        all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
-        # the un-sort's cost scales with payload rows: pack f16 PAIRS into
-        # u32 payloads (sort moves payloads bit-exactly; the ~0.05% f16
-        # rounding only touches per-entry gradients that are then summed)
-        if len(all_rows) % 2:
-            all_rows.append(jnp.zeros((R,), jnp.float32))
-
-        packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
-                  for i in range(len(all_rows) // 2)]
+        if packed_rows is not None:
+            packed = [jnp.where(covered, r, jnp.uint32(0))
+                      for r in packed_rows]
+        else:
+            all_rows = [geo_rows[j] for j in range(8)]
+            for cr in color_rows:
+                all_rows += [cr[0], cr[1], cr[2]]
+            all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
+            # the un-sort's cost scales with payload rows: pack f16 PAIRS
+            # into u32 payloads (sort moves payloads bit-exactly; the ~0.05%
+            # f16 rounding only touches per-entry gradients that are summed)
+            if len(all_rows) % 2:
+                all_rows.append(jnp.zeros((R,), jnp.float32))
+            packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
+                      for i in range(len(all_rows) // 2)]
         unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1)
-        unsorted = [None] * (1 + len(all_rows))
 
         def _unpack(i):
             word = unsorted_packed[1 + i // 2]
@@ -999,7 +1069,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         table_w = _round_up(6 + 3 * n_passes, 8)
         col0s = [6 + 3 * i for i in range(n_passes)]
     calls = [_make_pallas_calls(grid, K, RB_pad, table_w, c, 0, T_band,
-                                packed=pack16)
+                                packed=pack16, grad_packed=True)
              for c in col0s]
 
     SENT = jnp.uint32(0xFFFFFFFF)
@@ -1184,6 +1254,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         geo_rows = None
         color_rows = []
+        packed_rows = None
         dbg = jnp.zeros((3,), jnp.float32)
         for i in range(n_passes):
             final_t = pack_stack[i, :, :, 3]
@@ -1194,22 +1265,37 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                  jnp.zeros((T_band, P_PIX, 4), jnp.float32)], axis=-1)
             (eg,) = calls[i][1](tb, starts, counts, table, cot_pack,
                                 pack_stack[i])
-            g_geo = jnp.concatenate([eg[0:6, :RB], eg[9:11, :RB]], axis=0)
-            geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
-            color_rows.append(eg[6:9, :RB])
+            # kernel-packed grad rows (see the sort engine's bwd)
+            if n_passes == 1:
+                packed_rows = [
+                    jax.lax.bitcast_convert_type(eg[j, :RB], jnp.uint32)
+                    for j in range(6)]
+            else:
+                def dec(r):
+                    hi, lo = _unpack_row(eg[:, :RB], r)
+                    return jnp.concatenate([hi, lo], axis=0)
+                g_geo = jnp.concatenate([dec(0), dec(1), dec(2), dec(3)],
+                                        axis=0)
+                geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
+                color_rows.append(jnp.concatenate([dec(4), dec(5)[0:1]],
+                                                  axis=0))
             dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t,
                                    precision=_HIGH)
         dbg = jax.lax.psum(dbg, mesh_axis)
 
         covered = jnp.arange(RB, dtype=jnp.int32) < starts[T_band]
-        all_rows = [geo_rows[j] for j in range(8)]
-        for cr in color_rows:
-            all_rows += [cr[0], cr[1], cr[2]]
-        all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
-        if len(all_rows) % 2:
-            all_rows.append(jnp.zeros((RB,), jnp.float32))
-        packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
-                  for i in range(len(all_rows) // 2)]
+        if packed_rows is not None:
+            packed = [jnp.where(covered, r, jnp.uint32(0))
+                      for r in packed_rows]
+        else:
+            all_rows = [geo_rows[j] for j in range(8)]
+            for cr in color_rows:
+                all_rows += [cr[0], cr[1], cr[2]]
+            all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
+            if len(all_rows) % 2:
+                all_rows.append(jnp.zeros((RB,), jnp.float32))
+            packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
+                      for i in range(len(all_rows) // 2)]
 
         # receive order <- band-sorted order, then reverse the all-to-all:
         # chunk b of `back` = gradients of the entries I sent to band b,
