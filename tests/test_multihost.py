@@ -1,8 +1,16 @@
-"""Multi-host skeleton: deterministic camera picks, band math, and a
-collectives audit of the sharded program (single-process, 8-dev CPU mesh)."""
+"""Multi-host skeleton: deterministic camera picks, band math, a
+collectives audit of the sharded program (single-process, 8-dev CPU mesh),
+and a REAL 2-process jax.distributed training run (gloo collectives)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from wildgaussians_tpu.parallel import multihost as mh
 
@@ -82,6 +90,63 @@ def test_sharded_program_collectives_partition(rng):
     assert n_allreduce >= 1, "gradient psum missing from the sharded program"
     assert n_allreduce <= 4, f"unexpected extra collectives: {n_allreduce}"
     _assert_no_large_allgather(hlo)
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_training():
+    """Composition of the multi-host skeleton with the Gaussian-sharded sort
+    engine: 2 REAL processes x 4 virtual CPU devices each form one 8-device
+    global mesh over gloo, train 3 full steps with all-to-all binning and
+    shard-owned gradients, and must (a) agree bit-exactly with each other,
+    (b) reproduce the single-process 8-device run of the same steps, and
+    (c) address only their own half of the store's shards (1/D memory)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    steps, local_devices = 3, 4
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = ""   # the worker pins cpu itself
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(steps),
+         str(local_devices)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, cwd=repo,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # (a) both hosts computed the identical global program
+    assert outs[0]["losses"] == outs[1]["losses"], outs
+    assert all(np.isfinite(l) for l in outs[0]["losses"])
+    # (c) global store, locally-addressed half
+    for o in outs:
+        assert o["n_dev_global"] == 2 * local_devices
+        assert o["n_dev_local"] == local_devices
+        assert o["n_shards_total"] == 2 * local_devices
+        assert o["n_shards_addressable"] == local_devices
+
+    # (b) single-process 8-device run of the SAME steps (same deterministic
+    # camera picks) reproduces the multi-process losses
+    from __graft_entry__ import _OVERRIDES, _synthetic_setup
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    from wildgaussians_tpu.parallel.mesh import make_tile_mesh, use_mesh
+    overrides = dict(_OVERRIDES)
+    overrides.update(sh_degree=1, rasterizer_backend="pallas",
+                     pallas_binning="sort", shard_gaussian_store=True,
+                     pallas_big_fraction=1.0)
+    dataset = _synthetic_setup(n_gaussians=512, width=64, height=48, n_cams=2)
+    method = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    mesh = make_tile_mesh(jax.devices()[:8])
+    with use_mesh(mesh):
+        ref = [float(method.train_iteration(
+            s, camera_id=mh.step_camera_id(s, 2))["loss"])
+            for s in range(steps)]
+    np.testing.assert_allclose(outs[0]["losses"], ref, rtol=1e-6)
 
 
 def test_sharded_program_collectives_sort(rng):

@@ -433,7 +433,7 @@ class WildGaussians:
             loaded_step=self._loaded_step,
         )
 
-    def train_iteration(self, step: int):
+    def train_iteration(self, step: int, camera_id: Optional[int] = None):
         assert self.train_cameras is not None, "Method not initialized"
         self.step = step
         iteration = step + 1
@@ -444,9 +444,14 @@ class WildGaussians:
             new_deg = jnp.minimum(self.aux.active_sh_degree + 1, self.config.sh_degree)
             self.aux = self.aux._replace(active_sh_degree=new_deg)
 
-        if not self._viewpoint_stack:
-            self._viewpoint_stack = list(range(len(self.train_cameras)))
-        camera_id = self._viewpoint_stack.pop(random.randint(0, len(self._viewpoint_stack) - 1))
+        if camera_id is None:
+            # reference shuffle-stack semantics (method.py:1897-1901); for
+            # multi-process runs the caller must pass a deterministic pick
+            # instead (parallel.multihost.step_camera_id) so hosts agree
+            if not self._viewpoint_stack:
+                self._viewpoint_stack = list(range(len(self.train_cameras)))
+            camera_id = self._viewpoint_stack.pop(
+                random.randint(0, len(self._viewpoint_stack) - 1))
         self._last_camera_id = camera_id   # debug-snapshot provenance
 
         gt = jnp.asarray(self._train_images[camera_id])

@@ -645,6 +645,166 @@ def visible_cell_counts(mean2d, conic, opacity, rect_min, rect_max,
     return prefix
 
 
+def _cull_pack_entries(grid: TileGrid, d1: int, d_max: int, m_cap: int,
+                       pack16: bool, n_passes: int, depth_bits: int,
+                       mean2d, conic, opacity, colors_stack, depth,
+                       rect_min, rect_max, tiles_touched, valid):
+    """Corner-cull + visible-cell compaction + payload packing, shared by the
+    single-chip and Gaussian-sharded sort engines.
+
+    Returns (key_all, payload_rows, big_list) in SLOT order (cell-major:
+    slot (j, g) = j*n + g); the caller appends the flat-iota row and runs the
+    wide lax.sort. payload_rows[0] is the packed (x_rel, y_rel) row when
+    pack16, else rows are plain f32 attributes (exact-parity mode).
+
+    Every per-slot row is built as a CONCAT of per-cell 1-D [n] pieces —
+    never as a [d, n] 2-D array: a [d, n] -> [d*n] reshape is a
+    T(8,128) -> T(1024) relayout that XLA lowers to a d-iteration copy loop
+    (~0.75 ms per row at bench scale, measured), while the concat of fused
+    1-D pieces is a single flat write.
+
+    Tier split: every Gaussian owns the first d1 slots for its first d1
+    corner-cull-surviving rect cells; Gaussians with more visible cells
+    claim one of m_cap deep rows covering cells [d1, d_max). All tier-2
+    columns (select geometry + payload attributes) are fetched with ONE
+    row-shared batched gather: single-row [m_cap] gathers are latency-bound
+    (~6.6 ns/elem measured at 240k) while a gather whose index vector is
+    shared across rows streams ~0.7 ns/elem, and the [rows, n] stack fuses
+    into its elementwise producers (no relayout pass) — the same trick as
+    the backward's batched tier-2 merge scatter.
+    """
+    n = valid.shape[0]
+    d2_extra = d_max - d1
+    ts = float(grid.tile_size)
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    cull_thr = _cull_threshold(opacity)
+
+    def quantized_key(tile_m, depth_m, dup_m):
+        dpos = jnp.maximum(depth_m, 0.0)
+        dbits = (jax.lax.bitcast_convert_type(dpos, jnp.uint32)
+                 >> (31 - depth_bits))
+        dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
+        key = (tile_m.astype(jnp.uint32) << depth_bits) | dq
+        return jnp.where(dup_m, key, jnp.uint32(0xFFFFFFFF))
+
+    def packed_xy(tile_m, mean_m2):
+        # f16 (x_rel, y_rel) wrt each entry's own tile origin: f16's
+        # relative precision matches conic's 1/sigma^2 scaling, so the
+        # blend-power error stays ~1e-3 across footprint sizes
+        ox = (tile_m % grid.grid_x).astype(jnp.float32) * ts
+        oy = (tile_m // grid.grid_x).astype(jnp.float32) * ts
+        return _pack2_f16(mean_m2[:, 0] - ox, mean_m2[:, 1] - oy)
+
+    # Visible-cell COMPACTION: enumerate ALL d_max rect cells, keep only
+    # the corner-cull survivors (exact culling — a culled entry can never
+    # pass the in-kernel `alpha >= ALPHA_MIN` test, forward.cu:356
+    # semantics), and pack them to the front of each Gaussian's slots.
+    def select_cells(rmin, rw, tt, vald, mean_m2, con_m, thr_m, d_lo, d_hi):
+        """Tiles of the visible cells packed to slots [d_lo, d_hi)."""
+        m = rw.shape[0]
+        prefix = jnp.zeros((m,), jnp.int32)
+        sel = [jnp.zeros((m,), jnp.int32) for _ in range(d_hi - d_lo)]
+        for j in range(d_max):
+            tj = _tile_of_cell(rmin, rw, j, grid.grid_x)
+            vj = ((j < tt) & vald
+                  & _cell_visible(tj, mean_m2, con_m, thr_m, grid))
+            for jo in range(d_lo, d_hi):
+                sel[jo - d_lo] = jnp.where(
+                    vj & (prefix == jo), tj, sel[jo - d_lo])
+            prefix = prefix + vj.astype(jnp.int32)
+        return sel, prefix   # prefix = total visible-cell count
+
+    # full-n payload attribute rows. Tier 1 repeats them d1 times directly;
+    # tier 2 reads them through the batched gather. pack16 rows (f16-pair
+    # u32 except cb, the cancellation-sensitive conic cross term):
+    # (ca,cc) | cb | (r,g) | (b,op), then (r,g),(b,-) per extra color pass.
+    if pack16:
+        attr_rows = [_pack2_f16(conic[:, 0], conic[:, 2]),
+                     conic[:, 1],
+                     _pack2_f16(colors_stack[0, :, 0],
+                                colors_stack[0, :, 1]),
+                     _pack2_f16(colors_stack[0, :, 2], opacity)]
+        for i in range(1, n_passes):
+            attr_rows += [_pack2_f16(colors_stack[i, :, 0],
+                                     colors_stack[i, :, 1]),
+                          _pack2_f16(colors_stack[i, :, 2],
+                                     jnp.zeros_like(opacity))]
+    else:
+        attr_rows = [mean2d[:, 0], mean2d[:, 1], conic[:, 0],
+                     conic[:, 1], conic[:, 2], opacity]
+        for i in range(n_passes):
+            attr_rows += [colors_stack[i, :, 0], colors_stack[i, :, 1],
+                          colors_stack[i, :, 2]]
+
+    # tier 1: first d1 VISIBLE cells of every Gaussian
+    key_parts, xy_parts = [], []
+    sel1, vis_count = select_cells(rect_min, rect_w, tiles_touched,
+                                   valid, mean2d, conic, cull_thr, 0, d1)
+    for jo in range(d1):
+        key_parts.append(quantized_key(sel1[jo], depth, jo < vis_count))
+        if pack16:
+            xy_parts.append(packed_xy(sel1[jo], mean2d))
+
+    # tier 2: visible cells [d1, d_max) for Gaussians with many of them
+    attr_rows_b = []
+    if m_cap > 0:
+        is_big = (vis_count > d1) & valid
+        # first m_cap big-Gaussian indices, packed ascending, via ONE
+        # 1-row sort — ~3x cheaper than the equivalent rank-scatter
+        # (8.8 ms measured at 1.5M); overflow beyond m_cap drops the
+        # HIGHEST indices, same as the rank < m_cap cutoff did
+        bkey = jnp.where(is_big, jnp.arange(n, dtype=jnp.int32),
+                         jnp.int32(0x7FFFFFFF))
+        big_list = jnp.minimum(jax.lax.sort(bkey, is_stable=False)[:m_cap], n)
+        bvalid = big_list < n
+        bl = jnp.minimum(big_list, n - 1)
+        u32 = jnp.uint32
+        geo_cols = [rect_min[:, 0], rect_min[:, 1], rect_w,
+                    tiles_touched, mean2d[:, 0], mean2d[:, 1],
+                    conic[:, 0], conic[:, 1], conic[:, 2],
+                    cull_thr, depth]
+        all_cols = geo_cols + attr_rows
+        stackn = jnp.stack(
+            [c if c.dtype == u32 else jax.lax.bitcast_convert_type(c, u32)
+             for c in all_cols])
+        gb = stackn[:, bl]   # the ONE row-shared tier-2 gather
+
+        def back(i):
+            ref = all_cols[i]
+            if ref.dtype == u32:
+                return gb[i]
+            return jax.lax.bitcast_convert_type(gb[i], ref.dtype)
+
+        rmin_b = jnp.stack([back(0), back(1)], axis=-1)
+        mean_b = jnp.stack([back(4), back(5)], axis=-1)
+        conic_b = jnp.stack([back(6), back(7), back(8)], axis=-1)
+        depth_b = back(10)
+        attr_rows_b = [back(len(geo_cols) + i)
+                       for i in range(len(attr_rows))]
+        sel2, vis_b = select_cells(rmin_b, back(2), back(3), bvalid,
+                                   mean_b, conic_b, back(9), d1, d_max)
+        for j2 in range(d1, d_max):
+            key_parts.append(
+                quantized_key(sel2[j2 - d1], depth_b, j2 < vis_b))
+            if pack16:
+                xy_parts.append(packed_xy(sel2[j2 - d1], mean_b))
+    else:
+        big_list = jnp.zeros((0,), jnp.int32)
+    key_all = jnp.concatenate(key_parts)
+
+    def attr(i):
+        # d1 contiguous repeats (single flat concat write, no relayout)
+        parts = [attr_rows[i]] * d1
+        if m_cap > 0:
+            parts += [attr_rows_b[i]] * d2_extra
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    payload = [attr(i) for i in range(len(attr_rows))]
+    if pack16:
+        payload = [jnp.concatenate(xy_parts)] + payload
+    return key_all, payload, big_list
+
+
 @functools.lru_cache(maxsize=32)
 def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                            n_passes: int = 1, d_small: int = 4,
@@ -693,136 +853,21 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                                 grad_packed=True)
              for c in col0s]
 
+    tile_bits = max(int(T_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
-        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-        ts = float(grid.tile_size)
-
-        # CELL-MAJOR slot layout: tier-1 slot (j, g) -> j * n + g. Every
-        # per-slot row is built as a CONCAT of d1 per-cell 1-D [n] pieces —
-        # never as a [d, n] 2-D array: a [d, n] -> [d*n] reshape is a
-        # T(8,128) -> T(1024) relayout that XLA lowers to a d-iteration copy
-        # loop (~0.75 ms per row at bench scale, measured), while the concat
-        # of fused 1-D pieces is a single flat write.
-        def tile_of_cell(rmin, rw, j):
-            return _tile_of_cell(rmin, rw, j, grid.grid_x)
-
-        tile_bits = max(int(T_tiles + 1).bit_length(), 1)
-        depth_bits = 32 - tile_bits
-
-        # EXACT tile-corner culling (see _cell_visible): bit-exact for
-        # forward AND backward, since a culled entry can never pass the
-        # in-kernel `alpha >= ALPHA_MIN` test (forward.cu:356 semantics).
-        # Measured on the bench scene: 26% of entries cull.
-        cull_thr = _cull_threshold(opacity)
-
-        def cell_visible(tile_m, mean_m2, con_m, thr_m):
-            return _cell_visible(tile_m, mean_m2, con_m, thr_m, grid)
-
-        def quantized_key(tile_m, depth_m, dup_m):
-            dpos = jnp.maximum(depth_m, 0.0)
-            dbits = (jax.lax.bitcast_convert_type(dpos, jnp.uint32)
-                     >> (31 - depth_bits))
-            dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
-            key = (tile_m.astype(jnp.uint32) << depth_bits) | dq
-            return jnp.where(dup_m, key, jnp.uint32(0xFFFFFFFF))
-
-        def packed_xy(tile_m, mean_m2):
-            # f16 (x_rel, y_rel) wrt each entry's own tile origin: f16's
-            # relative precision matches conic's 1/sigma^2 scaling, so the
-            # blend-power error stays ~1e-3 across footprint sizes
-            ox = (tile_m % grid.grid_x).astype(jnp.float32) * ts
-            oy = (tile_m // grid.grid_x).astype(jnp.float32) * ts
-            return _pack2_f16(mean_m2[:, 0] - ox, mean_m2[:, 1] - oy)
-
-        # Visible-cell COMPACTION: enumerate ALL d_max rect cells, keep only
-        # the corner-cull survivors, and pack them to the front of each
-        # Gaussian's slots. The bench scene keeps 74% of entries, and the
-        # visible-cell histogram (p86 <= 4) lets d_small shrink well below
-        # the raw-rect histogram's p90 (6) at the same overflow rate —
-        # slots (and the cost of both wide sorts) scale with d_small * n.
-        def select_cells(rmin, rw, tt, vald, mean_m2, con_m, thr_m, d_lo,
-                         d_hi):
-            """Tiles of the visible cells packed to slots [d_lo, d_hi)."""
-            m = rw.shape[0]
-            prefix = jnp.zeros((m,), jnp.int32)
-            sel = [jnp.zeros((m,), jnp.int32) for _ in range(d_hi - d_lo)]
-            for j in range(d_max):
-                tj = tile_of_cell(rmin, rw, j)
-                vj = ((j < tt) & vald
-                      & cell_visible(tj, mean_m2, con_m, thr_m))
-                for jo in range(d_lo, d_hi):
-                    sel[jo - d_lo] = jnp.where(
-                        vj & (prefix == jo), tj, sel[jo - d_lo])
-                prefix = prefix + vj.astype(jnp.int32)
-            return sel, prefix   # prefix = total visible-cell count
-
-        # tier 1: first d1 VISIBLE cells of every Gaussian
-        key_parts, xy_parts = [], []
-        sel1, vis_count = select_cells(rect_min, rect_w, tiles_touched,
-                                       valid, mean2d, conic, cull_thr, 0, d1)
-        for jo in range(d1):
-            dj = jo < vis_count
-            key_parts.append(quantized_key(sel1[jo], depth, dj))
-            if pack16:
-                xy_parts.append(packed_xy(sel1[jo], mean2d))
-
-        # tier 2: visible cells [d1, d_max) for Gaussians with many of them
-        if m_cap > 0:
-            is_big = (vis_count > d1) & valid
-            # first m_cap big-Gaussian indices, packed ascending, via ONE
-            # 1-row sort — ~3x cheaper than the equivalent rank-scatter
-            # (8.8 ms measured at 1.5M); overflow beyond m_cap drops the
-            # HIGHEST indices, same as the rank < m_cap cutoff did
-            bkey = jnp.where(is_big, jnp.arange(n, dtype=jnp.int32),
-                             jnp.int32(0x7FFFFFFF))
-            big_list = jnp.minimum(jax.lax.sort(bkey)[:m_cap], n)
-            bvalid = big_list < n
-            bl = jnp.minimum(big_list, n - 1)
-            mean_b = mean2d[bl]
-            sel2, vis_b = select_cells(rect_min[bl], rect_w[bl],
-                                       tiles_touched[bl], bvalid, mean_b,
-                                       conic[bl], cull_thr[bl], d1, d_max)
-            for j2 in range(d1, d_max):
-                dj = j2 < vis_b
-                key_parts.append(quantized_key(sel2[j2 - d1], depth[bl], dj))
-                if pack16:
-                    xy_parts.append(packed_xy(sel2[j2 - d1], mean_b))
+        # CELL-MAJOR slot layout (tier-1 slot (j, g) -> j * n + g), exact
+        # corner culling (26% of bench entries cull) and visible-cell
+        # compaction (p86 <= 4 visible cells lets d_small shrink below the
+        # raw-rect p90 of 6; slots and the cost of both wide sorts scale
+        # with d_small * n) — see _cull_pack_entries
+        key_all, payload, big_list = _cull_pack_entries(
+            grid, d1, d_max, m_cap, pack16, n_passes, depth_bits,
+            mean2d, conic, opacity, colors_stack, depth, rect_min,
+            rect_max, tiles_touched, valid)
         flat = jnp.arange(R, dtype=jnp.int32)
-        key_all = jnp.concatenate(key_parts)
-        xy_all = jnp.concatenate(xy_parts) if pack16 else None
-
-        def attr(col):
-            # d1 contiguous repeats (single flat concat write, no relayout)
-            parts = [col] * d1
-            if m_cap > 0:
-                parts += [col[bl]] * d2_extra
-            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-
-        # payload rows, pack16 (f16-pair u32 except cb, the cancellation-
-        # sensitive conic cross term): xy | (ca,cc) | cb | (r,g) | (b,op),
-        # then (r,g),(b,-) per extra color pass.
-        # pack16=False: plain f32 rows, absolute means (exact parity mode).
-        if pack16:
-            payload = [xy_all,
-                       attr(_pack2_f16(conic[:, 0], conic[:, 2])),
-                       attr(conic[:, 1]),
-                       attr(_pack2_f16(colors_stack[0, :, 0],
-                                       colors_stack[0, :, 1])),
-                       attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
-            for i in range(1, n_passes):
-                payload += [attr(_pack2_f16(colors_stack[i, :, 0],
-                                            colors_stack[i, :, 1])),
-                            attr(_pack2_f16(colors_stack[i, :, 2],
-                                            jnp.zeros_like(opacity)))]
-        else:
-            payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
-                       attr(conic[:, 0]), attr(conic[:, 1]),
-                       attr(conic[:, 2]), attr(opacity)]
-            for i in range(n_passes):
-                payload += [attr(colors_stack[i, :, 0]),
-                            attr(colors_stack[i, :, 1]),
-                            attr(colors_stack[i, :, 2])]
         ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
         sorted_key, sorted_flat = ops[0], ops[1]
 
@@ -937,7 +982,11 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                 all_rows.append(jnp.zeros((R,), jnp.float32))
             packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
                       for i in range(len(all_rows) // 2)]
-        unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1)
+        # sorted_flat is a PERMUTATION (unique keys): is_stable=False is
+        # result-identical and saves the iota tiebreaker row XLA appends to
+        # stable payload sorts — one less u32 row of sort traffic
+        unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1,
+                                       is_stable=False)
 
         def _unpack(i):
             word = unsorted_packed[1 + i // 2]
@@ -1078,90 +1127,10 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                        rect_max, tiles_touched, valid):
         """Single-chip _sort_entries logic on the local Gaussian shard:
         corner-cull + visible-cell compaction + ONE wide payload sort."""
-        rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-        cull_thr = _cull_threshold(opacity)
-
-        def quantized_key(tile_m, depth_m, dup_m):
-            dpos = jnp.maximum(depth_m, 0.0)
-            dbits = (jax.lax.bitcast_convert_type(dpos, jnp.uint32)
-                     >> (31 - depth_bits))
-            dq = jnp.minimum(dbits, jnp.uint32((1 << depth_bits) - 1))
-            key = (tile_m.astype(jnp.uint32) << depth_bits) | dq
-            return jnp.where(dup_m, key, SENT)
-
-        def packed_xy(tile_m, mean_m2):
-            ox = (tile_m % grid.grid_x).astype(jnp.float32) * ts
-            oy = (tile_m // grid.grid_x).astype(jnp.float32) * ts
-            return _pack2_f16(mean_m2[:, 0] - ox, mean_m2[:, 1] - oy)
-
-        def select_cells(rmin, rw, tt, vald, mean_m2, con_m, thr_m, d_lo,
-                         d_hi):
-            m = rw.shape[0]
-            prefix = jnp.zeros((m,), jnp.int32)
-            sel = [jnp.zeros((m,), jnp.int32) for _ in range(d_hi - d_lo)]
-            for j in range(d_max):
-                tj = _tile_of_cell(rmin, rw, j, grid.grid_x)
-                vj = ((j < tt) & vald
-                      & _cell_visible(tj, mean_m2, con_m, thr_m, grid))
-                for jo in range(d_lo, d_hi):
-                    sel[jo - d_lo] = jnp.where(
-                        vj & (prefix == jo), tj, sel[jo - d_lo])
-                prefix = prefix + vj.astype(jnp.int32)
-            return sel, prefix
-
-        key_parts, xy_parts = [], []
-        sel1, vis_count = select_cells(rect_min, rect_w, tiles_touched,
-                                       valid, mean2d, conic, cull_thr, 0, d1)
-        for jo in range(d1):
-            key_parts.append(quantized_key(sel1[jo], depth, jo < vis_count))
-            if pack16:
-                xy_parts.append(packed_xy(sel1[jo], mean2d))
-        if m_cap > 0:
-            is_big = (vis_count > d1) & valid
-            bkey = jnp.where(is_big, jnp.arange(n_loc, dtype=jnp.int32),
-                             jnp.int32(0x7FFFFFFF))
-            big_list = jnp.minimum(jax.lax.sort(bkey)[:m_cap], n_loc)
-            bvalid = big_list < n_loc
-            bl = jnp.minimum(big_list, n_loc - 1)
-            mean_b = mean2d[bl]
-            sel2, vis_b = select_cells(rect_min[bl], rect_w[bl],
-                                       tiles_touched[bl], bvalid, mean_b,
-                                       conic[bl], cull_thr[bl], d1, d_max)
-            for j2 in range(d1, d_max):
-                key_parts.append(
-                    quantized_key(sel2[j2 - d1], depth[bl], j2 < vis_b))
-                if pack16:
-                    xy_parts.append(packed_xy(sel2[j2 - d1], mean_b))
-        else:
-            big_list = jnp.zeros((0,), jnp.int32)
-        key_all = jnp.concatenate(key_parts)
-
-        def attr(col):
-            parts = [col] * d1
-            if m_cap > 0:
-                parts += [col[bl]] * d2_extra
-            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-
-        if pack16:
-            payload = [jnp.concatenate(xy_parts),
-                       attr(_pack2_f16(conic[:, 0], conic[:, 2])),
-                       attr(conic[:, 1]),
-                       attr(_pack2_f16(colors_stack[0, :, 0],
-                                       colors_stack[0, :, 1])),
-                       attr(_pack2_f16(colors_stack[0, :, 2], opacity))]
-            for i in range(1, n_passes):
-                payload += [attr(_pack2_f16(colors_stack[i, :, 0],
-                                            colors_stack[i, :, 1])),
-                            attr(_pack2_f16(colors_stack[i, :, 2],
-                                            jnp.zeros_like(opacity)))]
-        else:
-            payload = [attr(mean2d[:, 0]), attr(mean2d[:, 1]),
-                       attr(conic[:, 0]), attr(conic[:, 1]),
-                       attr(conic[:, 2]), attr(opacity)]
-            for i in range(n_passes):
-                payload += [attr(colors_stack[i, :, 0]),
-                            attr(colors_stack[i, :, 1]),
-                            attr(colors_stack[i, :, 2])]
+        key_all, payload, big_list = _cull_pack_entries(
+            grid, d1, d_max, m_cap, pack16, n_passes, depth_bits,
+            mean2d, conic, opacity, colors_stack, depth, rect_min,
+            rect_max, tiles_touched, valid)
         flat = jnp.arange(R_loc, dtype=jnp.int32)
         ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
         return ops[0], ops[1], list(ops[2:]), big_list
@@ -1300,7 +1269,10 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         # receive order <- band-sorted order, then reverse the all-to-all:
         # chunk b of `back` = gradients of the entries I sent to band b,
         # in my send order (positions seg[b] + i of my local sort)
-        un = jax.lax.sort((ridx_sorted, *packed), num_keys=1)
+        # ridx_sorted is a permutation of the receive iota (unique keys):
+        # unstable sort is result-identical and one payload row cheaper
+        un = jax.lax.sort((ridx_sorted, *packed), num_keys=1,
+                          is_stable=False)
         back = jax.lax.all_to_all(jnp.stack(un[1:]), mesh_axis,
                                   split_axis=1, concat_axis=1, tiled=True)
 
@@ -1324,9 +1296,13 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         bkey_c = jnp.where(sent, R_loc, sflat)
         keys = jnp.concatenate([akey, bkey_c])
         zrow = jnp.zeros((R_loc,), jnp.uint32)
+        # every kept key (< R_loc) appears exactly once — only the dropped
+        # R_loc-sentinel tail has duplicates — so unstable sorting cannot
+        # change the [:R_loc] prefix
         merged = jax.lax.sort(
             (keys, *[jnp.concatenate([back[r], zrow])
-                     for r in range(back.shape[0])]), num_keys=1)
+                     for r in range(back.shape[0])]), num_keys=1,
+            is_stable=False)
 
         def _unpack(i):
             word = merged[1 + i // 2][:R_loc]
