@@ -259,59 +259,84 @@ class MetricsAccumulator:
         return out
 
 
+_ARCHIVE_EXTS = (".zip", ".tar.gz", ".tgz", ".tar")
+
+
 @contextlib.contextmanager
 def open_any(path: Union[str, Path], mode: str = "r"):
-    """Open a file possibly inside zip/tar archives, path segments split on
-    archive extensions (reference utils.py:363-435, offline subset: no http)."""
+    """Open a file by path, http(s) URL, or a path THROUGH zip/tar archives
+    (segments split on archive extensions, nesting allowed); file objects
+    pass through. Capability parity with reference utils.py:363-435."""
+    if not isinstance(path, (str, Path)):
+        yield path
+        return
     path = str(path)
     components = path.split("/")
-    archive_idx = next(
-        (i for i, c in enumerate(components[:-1])
-         if c.endswith(".zip") or c.endswith(".tar.gz") or c.endswith(".tgz") or c.endswith(".tar")),
-        None)
-    if archive_idx is None:
-        if "w" in mode:
-            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        with open(path, mode if "b" in mode else mode + "b") as f:
-            yield f
-        return
-    archive = "/".join(components[:archive_idx + 1])
-    rest = "/".join(components[archive_idx + 1:])
-    if archive.endswith(".zip"):
-        with zipfile.ZipFile(archive, "r" if "r" in mode else "a") as zf:
-            if "r" in mode:
-                with zf.open(rest, "r") as f:
-                    with open_any(rest, mode) if False else contextlib.nullcontext(f) as g:
-                        yield io.BytesIO(g.read())
-            else:
-                buf = io.BytesIO()
-                yield buf
+    arch = [i for i, c in enumerate(components[:-1])
+            if c.endswith(_ARCHIVE_EXTS)]
+    if arch:
+        i = arch[-1]
+        prefix = "/".join(components[:i + 1])
+        rest = "/".join(components[i + 1:])
+        if "r" in mode:
+            # the archive itself may live behind a URL or another archive
+            with open_any(prefix, mode) as outer:
+                if components[i].endswith(".zip"):
+                    with zipfile.ZipFile(outer) as zf, zf.open(rest, "r") as f:
+                        yield io.BytesIO(f.read())
+                else:
+                    with tarfile.open(fileobj=outer, mode="r:*") as tf:
+                        f = tf.extractfile(tf.getmember(rest))
+                        assert f is not None
+                        yield io.BytesIO(f.read())
+        else:
+            assert components[i].endswith(".zip"), \
+                "writing through archives is only supported for .zip"
+            buf = io.BytesIO()
+            yield buf
+            with zipfile.ZipFile(prefix, "a") as zf:
                 zf.writestr(rest, buf.getvalue())
-    else:
-        with tarfile.open(archive, "r:*") as tf:
-            member = tf.getmember(rest)
-            f = tf.extractfile(member)
-            assert f is not None
-            yield io.BytesIO(f.read())
+        return
+    if path.startswith("http://") or path.startswith("https://"):
+        assert "r" in mode, "only reading from remote files is supported"
+        import urllib.request
+        with tempfile.TemporaryFile("rb+") as tmp:
+            with urllib.request.urlopen(path) as resp:
+                while True:
+                    block = resp.read(1 << 20)
+                    if not block:
+                        break
+                    tmp.write(block)
+            tmp.flush()
+            tmp.seek(0)
+            yield tmp
+        return
+    if "w" in mode:
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, mode if "b" in mode else mode + "b") as f:
+        yield f
 
 
 @contextlib.contextmanager
 def open_any_directory(path: Union[str, Path], mode: str = "r"):
-    """Expose a possibly-archived directory as a real directory
-    (reference utils.py:438-541, offline subset)."""
+    """Expose a possibly-archived (local or http(s)) directory as a real
+    directory (reference utils.py:438-541)."""
     path = str(path)
-    if not (path.endswith(".zip") or path.endswith(".tar.gz") or path.endswith(".tgz")):
+    remote = path.startswith("http://") or path.startswith("https://")
+    if not path.endswith((".zip", ".tar.gz", ".tgz")):
+        assert not remote, "remote directories must be .zip/.tar.gz archives"
         os.makedirs(path, exist_ok=True)
         yield path
         return
     with tempfile.TemporaryDirectory() as tmp:
-        if "r" in mode and os.path.exists(path):
-            if path.endswith(".zip"):
-                with zipfile.ZipFile(path) as zf:
-                    zf.extractall(tmp)
-            else:
-                with tarfile.open(path, "r:*") as tf:
-                    tf.extractall(tmp)
+        if "r" in mode and (remote or os.path.exists(path)):
+            with open_any(path, "r") as f:
+                if path.endswith(".zip"):
+                    with zipfile.ZipFile(f) as zf:
+                        zf.extractall(tmp)
+                else:
+                    with tarfile.open(fileobj=f, mode="r:*") as tf:
+                        tf.extractall(tmp)
         yield tmp
         if "w" in mode or "a" in mode:
             if path.endswith(".zip"):
