@@ -14,11 +14,25 @@ def load_dataset(path: Union[Path, str],
                  split: str,
                  features: Optional[FrozenSet[DatasetFeature]] = None,
                  **kwargs) -> UnloadedDataset:
-    """Try the specialized loaders in order (phototourism -> colmap)."""
+    """Try the specialized loaders in order (phototourism -> colmap).
+
+    `external://<dataset>` paths download into the cache first (reference
+    datasets/__init__.py:52-57; cache root = $WG_PREFIX or ~/.cache/
+    wildgaussians-tpu)."""
     path = str(path)
     errors = {}
     from .phototourism import load_phototourism_dataset
     from .colmap import load_colmap_dataset
+    if path.startswith("external://"):
+        import os
+        name = path.split("://", 1)[1]
+        prefix = os.environ.get(
+            "WG_PREFIX", os.path.expanduser("~/.cache/wildgaussians-tpu"))
+        local = Path(prefix) / "datasets" / name
+        if not local.exists():
+            from .phototourism import download_phototourism_dataset
+            download_phototourism_dataset(name, local)
+        path = str(local)
     for name, loader in (("phototourism", load_phototourism_dataset),
                          ("colmap", load_colmap_dataset)):
         try:

@@ -98,11 +98,53 @@ def load_phototourism_dataset(path: Union[Path, str], split: str,
 
 
 def download_phototourism_dataset(path: str, output: Union[Path, str]):
-    """Kept for API parity; this environment has no egress."""
-    raise RuntimeError(
-        "This environment has no network egress; download the Photo Tourism "
-        f"scene manually from {_phototourism_downloads} and extract its dense/ "
-        "folder to the target path.")
+    """Fetch a Photo Tourism capture and extract its dense/ subtree to
+    `output`, plus the NeRF-W split list when one exists (reference
+    phototourism.py:116-188). `path` is 'phototourism' (all scenes with
+    split lists) or 'phototourism/<scene>'."""
+    from ..utils import open_any
+
+    output = Path(output)
+    if path != DATASET_NAME and not path.startswith(f"{DATASET_NAME}/"):
+        raise DatasetNotFoundError(
+            f"Dataset path must be '{DATASET_NAME}' or start with '{DATASET_NAME}/'")
+    if path == DATASET_NAME:
+        for scene in _split_lists:
+            download_phototourism_dataset(f"{DATASET_NAME}/{scene}", output / scene)
+        return
+    scene = path.split("/", 1)[1]
+    if scene not in _phototourism_downloads:
+        raise DatasetNotFoundError(
+            f"Capture '{scene}' is not a valid {DATASET_NAME} scene")
+    if output.exists():
+        logger.info("Dataset %s already exists in %s", path, output)
+        return
+
+    url = _phototourism_downloads[scene]
+    # the UBC tarballs hold <archive-stem>/dense/{images,sparse,stereo};
+    # only dense/ is the dataset — extract it with the prefix stripped
+    prefix = url.rsplit("/", 1)[-1].split(".")[0] + "/dense/"
+    tmp_out = output.with_suffix(".tmp")
+    import shutil
+    import tarfile
+    logger.info("Downloading %s from %s", path, url)
+    with open_any(url, "r") as f, tarfile.open(fileobj=f, mode="r:gz") as tf:
+        members = []
+        for m in tf.getmembers():
+            if m.path.startswith(prefix):
+                m.path = m.path[len(prefix):]
+                members.append(m)
+        if not members:
+            raise RuntimeError(f"Capture '{scene}' not found in {url}")
+        tmp_out.mkdir(parents=True, exist_ok=True)
+        tf.extractall(tmp_out, members=members, filter="data")
+    shutil.rmtree(output, ignore_errors=True)
+    shutil.move(str(tmp_out), str(output))
+
+    if scene in _split_lists:
+        with open_any(_split_lists[scene], "r") as f:
+            (output / "nerfw_split.csv").write_bytes(f.read())
+    logger.info("Downloaded %s to %s", path, output)
 
 
 def horizontal_half_dataset(dataset: Dataset, left: bool = True) -> Dataset:

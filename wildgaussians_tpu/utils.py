@@ -336,7 +336,7 @@ def open_any_directory(path: Union[str, Path], mode: str = "r"):
                         zf.extractall(tmp)
                 else:
                     with tarfile.open(fileobj=f, mode="r:*") as tf:
-                        tf.extractall(tmp)
+                        tf.extractall(tmp, filter="data")
         yield tmp
         if "w" in mode or "a" in mode:
             if path.endswith(".zip"):
