@@ -108,3 +108,75 @@ def test_lpips_matches_reference_pipeline(weights_dir):
     want = _manual_lpips(state, heads, x0, x1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert (got > 0).all()
+
+
+_VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+            512, 512, 512, "M", 512, 512, 512]
+_VGG_TAPS = (3, 8, 15, 22, 29)  # relu1_2, 2_2, 3_3, 4_3, 5_3
+
+
+def _vgg_state(rng):
+    """torchvision vgg16 'features.*' keys (conv/relu/pool interleaved)."""
+    state, in_ch, idx = {}, 3, 0
+    for v in _VGG_CFG + ["M"]:
+        if v == "M":
+            idx += 1
+            continue
+        state[f"features.{idx}.weight"] = torch.tensor(
+            rng.standard_normal((v, in_ch, 3, 3)).astype(np.float32) * 0.05)
+        state[f"features.{idx}.bias"] = torch.tensor(
+            rng.standard_normal((v,)).astype(np.float32) * 0.05)
+        in_ch, idx = v, idx + 2
+    return state
+
+
+def _manual_lpips_vgg(state, heads, x0, x1):
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def trunk(x):
+        taps, idx = [], 0
+        for v in _VGG_CFG:
+            if v == "M":
+                x = F.max_pool2d(x, 2, 2)
+                idx += 1
+                continue
+            x = F.relu(F.conv2d(x, state[f"features.{idx}.weight"],
+                                state[f"features.{idx}.bias"], padding=1))
+            if idx + 1 in _VGG_TAPS:
+                taps.append(x)
+            idx += 2
+        return taps
+
+    f0 = trunk((x0 - shift) / scale)
+    f1 = trunk((x1 - shift) / scale)
+    total = torch.zeros(x0.shape[0])
+    for i, (a, b) in enumerate(zip(f0, f1)):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        w = heads[f"lin{i}.model.1.weight"]
+        total = total + F.conv2d((na - nb) ** 2, w).mean(dim=(2, 3)).squeeze(1)
+    return total
+
+
+def test_lpips_vgg_matches_reference_pipeline(tmp_path):
+    import wildgaussians_tpu.metrics_lpips as ml
+    rng = np.random.default_rng(5)
+    torch.save(_vgg_state(rng), tmp_path / "vgg16-397923af.pth")
+    torch.save(_heads_state(rng, [64, 128, 256, 512, 512]),
+               tmp_path / "lpips_vgg_0.1.pth")
+    old_dirs = ml._WEIGHT_DIRS
+    ml._WEIGHT_DIRS = [str(tmp_path)]
+    try:
+        model = ml.LPIPS(net="vgg")
+    finally:
+        ml._WEIGHT_DIRS = old_dirs
+    x0 = torch.tensor(rng.uniform(-1, 1, (2, 3, 64, 96)).astype(np.float32))
+    x1 = torch.tensor(rng.uniform(-1, 1, (2, 3, 64, 96)).astype(np.float32))
+    with torch.no_grad():
+        got = model(x0, x1).numpy()
+    state = torch.load(tmp_path / "vgg16-397923af.pth", weights_only=True)
+    heads = torch.load(tmp_path / "lpips_vgg_0.1.pth", weights_only=True)
+    want = _manual_lpips_vgg(state, heads, x0, x1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert (got > 0).all()
