@@ -6,6 +6,8 @@ jax.config before any backend initializes (SURVEY.md section 4).
 """
 import os
 
+os.environ.setdefault("WG_OFFLINE", "1")  # hermetic: never hit the network
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -68,6 +68,33 @@ def test_external_download_and_load(ubc_server, tmp_path, monkeypatch):
     assert again["image_paths"] == train["image_paths"]
 
 
+def test_download_to_cache(tmp_path, monkeypatch):
+    """Weight-download helper: fetch + cache hit + offline gate."""
+    from wildgaussians_tpu.utils import download_to_cache
+
+    web = tmp_path / "web"
+    web.mkdir()
+    (web / "w.pth").write_bytes(b"\x01\x02weights")
+    handler = partial(SimpleHTTPRequestHandler, directory=str(web))
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/w.pth"
+    cache = tmp_path / "cache"
+    try:
+        monkeypatch.delenv("WG_OFFLINE", raising=False)
+        p = download_to_cache(url, cache_dir=str(cache))
+        assert p is not None and open(p, "rb").read() == b"\x01\x02weights"
+        # 404 -> None, no partial file left behind
+        assert download_to_cache(url + ".missing", cache_dir=str(cache)) is None
+        assert sorted(os.listdir(cache)) == ["w.pth"]
+    finally:
+        srv.shutdown()
+    # cache hit must not touch the network (server is down)
+    assert download_to_cache(url, cache_dir=str(cache)) == p
+    monkeypatch.setenv("WG_OFFLINE", "1")
+    assert download_to_cache(url + "2", cache_dir=str(cache)) is None
+
+
 def test_download_rejects_unknown_scene(tmp_path):
     from wildgaussians_tpu.datasets.common import DatasetNotFoundError
     from wildgaussians_tpu.datasets.phototourism import (

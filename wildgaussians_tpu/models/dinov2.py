@@ -43,9 +43,13 @@ _WEIGHT_FILES = {
 
 
 def _find_weights(backbone: str) -> Optional[str]:
+    from ..utils import download_to_cache
+    env = os.environ.get("WG_DINOV2_WEIGHTS")
     candidates = []
-    if os.environ.get("WG_DINOV2_WEIGHTS"):
-        candidates.append(os.environ["WG_DINOV2_WEIGHTS"])
+    if env:
+        if env.startswith(("http://", "https://")):
+            return download_to_cache(env)
+        candidates.append(env)
     fname = _WEIGHT_FILES.get(backbone, f"{backbone}_pretrain.pth")
     candidates += [
         os.path.expanduser(f"~/.cache/torch/hub/checkpoints/{fname}"),
@@ -54,7 +58,11 @@ def _find_weights(backbone: str) -> Optional[str]:
     for c in candidates:
         if os.path.exists(c):
             return c
-    return None
+    # Same URL scheme the reference's hub loader uses (dinov2.py:890,939-941):
+    # base name drops the _regN suffix, the file name keeps it.
+    base = backbone.split("_reg")[0]
+    return download_to_cache(
+        f"https://dl.fbaipublicfiles.com/dinov2/{base}/{fname}", fname)
 
 
 def _random_params(arch: dict, seed: int = 0) -> Dict[str, np.ndarray]:

@@ -115,8 +115,17 @@ class UncertaintyModel:
         }
         import os
         path = os.environ.get("WG_ADE20K_HEAD")
-        if path and os.path.exists(path):
-            params = self.initialize_head_from_ade20k(params, path)
+        if path:
+            from ..utils import download_to_cache
+            backbone = self.dino.backbone
+            if path == "auto":
+                # the reference's checkpoint URL (method.py:243)
+                path = (f"https://dl.fbaipublicfiles.com/dinov2/{backbone}/"
+                        f"{backbone}_ade20k_linear_head.pth")
+            if path.startswith(("http://", "https://")):
+                path = download_to_cache(path)
+            if path and os.path.exists(path):
+                params = self.initialize_head_from_ade20k(params, path)
         return params
 
     def initialize_head_from_ade20k(self, params, path: str):

@@ -6,6 +6,7 @@ numpy only (never on the device path).
 """
 import contextlib
 import io
+import logging
 import os
 import struct
 import tarfile
@@ -348,6 +349,43 @@ def open_any_directory(path: Union[str, Path], mode: str = "r"):
             else:
                 with tarfile.open(path, "w:gz") as tf:
                     tf.add(tmp, arcname="")
+
+
+def download_to_cache(url: str, filename: Optional[str] = None,
+                      cache_dir: Optional[str] = None,
+                      timeout: float = 30.0) -> Optional[str]:
+    """Download a URL into the local weight cache and return the path, or
+    None when offline / the fetch fails. The analogue of the reference's
+    torch.hub.load_state_dict_from_url download step (dinov2.py:941,
+    method.py:243-245) with graceful degradation: set WG_OFFLINE=1 to skip
+    any network attempt. Downloads land atomically (tmp + rename) in
+    ~/.cache/wild-gaussians-tpu/."""
+    if os.environ.get("WG_OFFLINE"):
+        return None
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/wild-gaussians-tpu")
+    filename = filename or url.rsplit("/", 1)[-1]
+    dest = os.path.join(cache_dir, filename)
+    if os.path.exists(dest):
+        return dest
+    os.makedirs(cache_dir, exist_ok=True)
+    import urllib.request
+    tmp = dest + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp, \
+                open(tmp, "wb") as f:
+            while True:
+                block = resp.read(1 << 20)
+                if not block:
+                    break
+                f.write(block)
+        os.replace(tmp, dest)
+        return dest
+    except Exception as exc:  # no egress, DNS failure, 404, ...
+        logging.getLogger(__name__).warning(
+            "download of %s failed (%s); continuing without it", url, exc)
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        return None
 
 
 def get_sha256(path: str) -> str:
