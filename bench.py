@@ -129,7 +129,25 @@ def main():
         return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
                                                        out.overflow)
 
-    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True))
+    fwd_only = bool(int(os.environ.get("BENCH_FWD_ONLY", "0")))
+    if fwd_only:
+        # inference throughput: render only, no gradients
+        def fwd(xyz, scales, rots, opac, colors):
+            out = rasterize_gaussians(
+                xyz, scales, rots, opac, colors, params, w, h,
+                kernel_size=0.1, backend=backend,
+                max_tiles_per_gaussian=d_max, chunk=chunk,
+                d_small=d_small, binning=binning)
+            return out.color, (out.num_rendered, out.overflow)
+
+        _fwd = jax.jit(fwd)
+
+        def step(*a):
+            color, aux = _fwd(*a)
+            return (jnp.mean(color), aux), (color,)
+    else:
+        step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
+                                          has_aux=True))
 
     # warmup + compile
     (loss, (num_rendered, overflow)), grads = step(*args)
@@ -142,12 +160,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (w * h) / dt / 1e6
+    kind = "fwd-only" if fwd_only else "fwd+bwd"
     result = {
-        "metric": f"fwd+bwd Mpix/s @{n_gaussians // 1000}k gaussians ({backend})",
+        "metric": f"{kind} Mpix/s @{n_gaussians // 1000}k gaussians ({backend})",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 4),
     }
+    if fwd_only:
+        result["fps"] = round(1.0 / dt, 2)
     print(json.dumps(result))
     print(f"# step={dt * 1e3:.1f}ms loss={float(loss):.4f} "
           f"num_rendered={int(num_rendered)} overflow={int(overflow)} "

@@ -87,6 +87,37 @@ def test_colmap_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(rotmat2qvec(R), q / np.sign(q[0]), atol=1e-6)
 
 
+def test_colmap_text_model_roundtrip(tmp_path, rng):
+    """write_model(.txt) -> read_model auto-detect -> identical model; and a
+    .txt model loads through load_colmap_dataset like a .bin one."""
+    from wildgaussians_tpu.datasets.colmap_utils import (
+        detect_model_format, read_model, write_model)
+    p = make_colmap_scene(tmp_path, rng, n_cams=3, n_points=20)
+    cams, imgs, pts = read_model(p / "sparse")  # auto-detect .bin
+    txt = tmp_path / "txt"
+    txt.mkdir()
+    write_model(cams, imgs, pts, txt, ext=".txt")
+    assert detect_model_format(txt, ".txt") and not detect_model_format(txt, ".bin")
+    cams2, imgs2, pts2 = read_model(txt)  # auto-detect .txt
+    assert cams2.keys() == cams.keys() and imgs2.keys() == imgs.keys()
+    for k in cams:
+        assert cams2[k].model == cams[k].model
+        np.testing.assert_array_equal(cams2[k].params, cams[k].params)
+    for k in imgs:
+        np.testing.assert_array_equal(imgs2[k].qvec, imgs[k].qvec)
+        np.testing.assert_array_equal(imgs2[k].tvec, imgs[k].tvec)
+        assert imgs2[k].name == imgs[k].name
+    for k in pts:
+        np.testing.assert_array_equal(pts2[k].xyz, pts[k].xyz)
+        np.testing.assert_array_equal(pts2[k].rgb, pts[k].rgb)
+    # bin roundtrip through write_model too
+    binp = tmp_path / "bin2"
+    binp.mkdir()
+    write_model(cams, imgs, pts, binp, ext=".bin")
+    cams3, _, _ = read_model(binp, ext=".bin")
+    np.testing.assert_array_equal(cams3[1].params, cams[1].params)
+
+
 def test_load_colmap_dataset(tmp_path, rng):
     from wildgaussians_tpu.datasets.colmap import load_colmap_dataset
     from wildgaussians_tpu.datasets import dataset_load_features

@@ -123,7 +123,10 @@ def read_images_binary(path) -> Dict[int, Image]:
 def read_images_text(path) -> Dict[int, Image]:
     images = {}
     with open(path, "r", encoding="utf8") as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.strip().startswith("#")]
+        # keep empty lines: an image with no 2D points has an empty track line
+        lines = [ln.strip() for ln in f if not ln.strip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
     for i in range(0, len(lines), 2):
         parts = lines[i].split()
         img_id = int(parts[0])
@@ -204,3 +207,93 @@ def write_points3D_binary(points: Dict[int, Point3D], path):
             f.write(struct.pack("<Q", len(pt.image_ids)))
             for img_id, p2d in zip(pt.image_ids, pt.point2D_idxs):
                 f.write(struct.pack("<ii", img_id, p2d))
+
+
+def write_cameras_text(cameras: Dict[int, Camera], path):
+    """COLMAP cameras.txt (reference _colmap_utils.py write_cameras_text)."""
+    with open(path, "w", encoding="utf8") as f:
+        f.write("# Camera list with one line of data per camera:\n"
+                "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n"
+                f"# Number of cameras: {len(cameras)}\n")
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def write_images_text(images: Dict[int, Image], path):
+    """COLMAP images.txt: two lines per image (pose; 2D-point track)."""
+    mean_obs = (sum(len(i.point3D_ids) for i in images.values())
+                / max(len(images), 1))
+    with open(path, "w", encoding="utf8") as f:
+        f.write("# Image list with two lines of data per image:\n"
+                "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+                f"# Number of images: {len(images)}, "
+                f"mean observations per image: {mean_obs}\n")
+        for img in images.values():
+            pose = " ".join(repr(float(v)) for v in (*img.qvec, *img.tvec))
+            f.write(f"{img.id} {pose} {img.camera_id} {img.name}\n")
+            track = " ".join(f"{repr(float(x))} {repr(float(y))} {int(pid)}"
+                             for (x, y), pid in zip(img.xys, img.point3D_ids))
+            f.write(track + "\n")
+
+
+def write_points3D_text(points: Dict[int, Point3D], path):
+    """COLMAP points3D.txt."""
+    mean_track = (sum(len(p.image_ids) for p in points.values())
+                  / max(len(points), 1))
+    with open(path, "w", encoding="utf8") as f:
+        f.write("# 3D point list with one line of data per point:\n"
+                "#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+                f"# Number of points: {len(points)}, "
+                f"mean track length: {mean_track}\n")
+        for pt in points.values():
+            xyz = " ".join(repr(float(v)) for v in pt.xyz)
+            rgb = " ".join(str(int(v)) for v in pt.rgb)
+            track = " ".join(f"{int(i)} {int(j)}"
+                             for i, j in zip(pt.image_ids, pt.point2D_idxs))
+            f.write(f"{pt.id} {xyz} {rgb} {repr(float(pt.error))} {track}\n")
+
+
+def detect_model_format(path, ext: str) -> bool:
+    """True when cameras/images/points3D with the given extension exist under
+    path (reference _colmap_utils.py detect_model_format)."""
+    import os
+    return all(os.path.isfile(os.path.join(str(path), f + ext))
+               for f in ("cameras", "images", "points3D"))
+
+
+def read_model(path, ext: str = ""):
+    """Read a sparse model directory in .bin or .txt format; auto-detects the
+    extension when not given (reference _colmap_utils.py read_model)."""
+    import os
+    if ext == "":
+        if detect_model_format(path, ".bin"):
+            ext = ".bin"
+        elif detect_model_format(path, ".txt"):
+            ext = ".txt"
+        else:
+            raise FileNotFoundError(f"no COLMAP model found under {path}")
+    join = lambda name: os.path.join(str(path), name + ext)  # noqa: E731
+    if ext == ".txt":
+        return (read_cameras_text(join("cameras")),
+                read_images_text(join("images")),
+                read_points3D_text(join("points3D")))
+    return (read_cameras_binary(join("cameras")),
+            read_images_binary(join("images")),
+            read_points3D_binary(join("points3D")))
+
+
+def write_model(cameras, images, points3D, path, ext: str = ".bin"):
+    """Write a sparse model directory in .bin or .txt format."""
+    import os
+    join = lambda name: os.path.join(str(path), name + ext)  # noqa: E731
+    if ext == ".txt":
+        write_cameras_text(cameras, join("cameras"))
+        write_images_text(images, join("images"))
+        write_points3D_text(points3D, join("points3D"))
+    else:
+        write_cameras_binary(cameras, join("cameras"))
+        write_images_binary(images, join("images"))
+        write_points3D_binary(points3D, join("points3D"))

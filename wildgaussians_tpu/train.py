@@ -28,7 +28,7 @@ from .logging import JsonlLogger, TensorboardLogger, ConcatLogger
 from .models.wildgaussians import WildGaussians
 from .types import Dataset, EvaluationProtocol, Logger
 from .utils import (Indices, MetricsAccumulator, image_to_srgb,
-                    make_image_grid, visualize_depth)
+                    make_image_grid, setup_logging, visualize_depth)
 
 logger_py = logging.getLogger(__name__)
 
@@ -221,7 +221,7 @@ def train_command(data, output, verbose, eval_few_iters, dataset_type="default",
         # fixed-capacity store produces benign masked NaNs for dead slots.
         config_overrides = (config_overrides or ()) + (("iterations", "100"),)
         eval_few_iters = Indices.every_iters(70)
-    logging.basicConfig(level=logging.DEBUG if verbose or debug else logging.INFO)
+    setup_logging(verbose or debug)
 
     if config_overrides is not None and isinstance(config_overrides, (list, tuple)):
         config_overrides = dict(config_overrides)

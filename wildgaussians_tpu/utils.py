@@ -351,6 +351,28 @@ def open_any_directory(path: Union[str, Path], mode: str = "r"):
                     tf.add(tmp, arcname="")
 
 
+_LOG_STYLES = {
+    logging.DEBUG: "\033[0;36mdebug:\033[0m {}",
+    logging.INFO: "\033[1;36minfo:\033[0m {}",
+    logging.WARNING: "\033[0;1;33mwarning: {}\033[0m",
+    logging.ERROR: "\033[0;1;31merror: {}\033[0m",
+}
+
+
+def setup_logging(verbose: bool = False):
+    """Root-logger setup with level-colored prefixes (capability parity with
+    reference utils.py:32-59); quiets PIL's debug chatter under -v."""
+    logging.basicConfig(
+        level=logging.DEBUG if verbose else logging.INFO, force=True)
+    fmt = type("_Fmt", (logging.Formatter,), {
+        "format": lambda self, r: _LOG_STYLES.get(
+            r.levelno, "{}").format(r.getMessage())})()
+    for handler in logging.root.handlers:
+        handler.setFormatter(fmt)
+    logging.getLogger("PIL").setLevel(logging.WARNING)
+    logging.captureWarnings(True)
+
+
 def download_to_cache(url: str, filename: Optional[str] = None,
                       cache_dir: Optional[str] = None,
                       timeout: float = 30.0) -> Optional[str]:
