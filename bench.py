@@ -18,6 +18,44 @@ import time
 import numpy as np
 
 REFERENCE_MPIX_S = 50.0
+
+# --- v5e single-chip roofline constants (model_bound) -----------------------
+# HBM_BW: ~819 GB/s sustained; VPU_OPS: 8 sublanes x 128 lanes x 4 ALUs x
+# 0.94 GHz ~= 3.8 T elementary f32 lane-ops/s; transcendentals (exp/log)
+# cost ~7 lane-ops each on the VPU.
+HBM_BW = 819e9
+VPU_OPS = 3.8e12
+EXP_OPS = 7.0
+
+
+def model_bound_ms(num_rendered: int, R_slots: int, fwd_rows: int,
+                   bwd_rows: int, tile_pixels: int = 256,
+                   fwd_only: bool = False) -> float:
+    """Speed-of-light step model for the sort-engine design on one chip.
+
+    Three irreducible stages (everything else can in principle fuse/hide):
+      1. binning reorder: a CUB-class 4-pass radix sort moving
+         (key + payload rows) x R x 8 B (read+write) per pass at HBM BW —
+         the hardware floor a GPU actually reaches; TPU has no vector
+         scatter, so lax.sort runs ~10x above this floor (documented in
+         tools/profiles/README.md: the gap is platform, not implementation).
+      2. forward blend: every covered entry is evaluated against all 256
+         tile pixels; per pair two transcendentals (exp(power), exp(S)) +
+         ~15 ALU lane-ops on the VPU. MXU prefix/color matmuls run in
+         parallel and are never the binding unit at K=256.
+      3. backward: re-forward + gradient chains (~2 more transcendental-
+         equivalents + ~25 ALU) + the gradient un-sort (stage-1 again
+         with bwd_rows).
+    """
+    pairs = num_rendered * tile_pixels
+    sort_bytes = 4 * 2 * (1 + fwd_rows) * R_slots * 4
+    fwd_kernel_ops = pairs * (2 * EXP_OPS + 15)
+    t = sort_bytes / HBM_BW + fwd_kernel_ops / VPU_OPS
+    if not fwd_only:
+        unsort_bytes = 4 * 2 * (1 + bwd_rows) * R_slots * 4
+        bwd_kernel_ops = pairs * (4 * EXP_OPS + 25)
+        t += unsort_bytes / HBM_BW + bwd_kernel_ops / VPU_OPS
+    return t * 1e3
 # deterministic synthetic-scene quality target (BENCH_MODE=quality):
 # vanilla-3DGS config on the generated scene reaches this PSNR in
 # BENCH_QUALITY_STEPS steps (recorded on CPU/TPU; regression signal until
@@ -120,17 +158,64 @@ def main():
     d_small = int(os.environ.get("BENCH_DSMALL", 4))
     binning = os.environ.get("BENCH_BINNING", "sort")
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    # BENCH_PASSES > 1: the real training shape — raw + appearance-toned
+    # (+ depth) color sets sharing one sort and ONE fused kernel traversal
+    n_bench_passes = int(os.environ.get("BENCH_PASSES", 1))
 
-    def loss_fn(xyz, scales, rots, opac, colors):
-        out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
-                                  kernel_size=0.1, backend=backend,
-                                  max_tiles_per_gaussian=d_max, chunk=chunk,
-                                  d_small=d_small, binning=binning)
-        return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
-                                                       out.overflow)
+    if n_bench_passes > 1 and backend == "pallas":
+        from wildgaussians_tpu.ops.gaussians import preprocess, compute_cov3d
+        from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
+        from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+
+        grid = make_grid(w, h, 16)
+
+        def loss_fn(xyz, scales, rots, opac, colors):
+            cov3d = compute_cov3d(scales, rots)
+            pre = preprocess(xyz, cov3d, opac, params, w, h, 0.1,
+                             tile_size=16)
+            csets = [jnp.roll(colors, i, axis=1)
+                     for i in range(n_bench_passes)]
+            outs = rasterize_pallas_multi(
+                pre.mean2d, pre.conic, pre.opacity, csets,
+                jnp.zeros((xyz.shape[0], 2)), pre.depth, pre.rect_min,
+                pre.rect_max,
+                jnp.minimum(pre.tiles_touched, d_max), pre.valid,
+                jnp.zeros((3,)), grid=grid, chunk=chunk,
+                max_tiles_per_gaussian=d_max, d_small=d_small,
+                binning=binning)
+            loss = sum(jnp.mean(jnp.abs(img - target)) for img, _t in outs)
+            return loss, (jnp.sum(jnp.minimum(pre.tiles_touched, d_max)),
+                          jnp.int32(0))
+    else:
+        def loss_fn(xyz, scales, rots, opac, colors):
+            out = rasterize_gaussians(xyz, scales, rots, opac, colors,
+                                      params, w, h,
+                                      kernel_size=0.1, backend=backend,
+                                      max_tiles_per_gaussian=d_max,
+                                      chunk=chunk,
+                                      d_small=d_small, binning=binning)
+            return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
+                                                           out.overflow)
 
     fwd_only = bool(int(os.environ.get("BENCH_FWD_ONLY", "0")))
-    if fwd_only:
+    static = bool(int(os.environ.get("BENCH_STATIC", "0")))
+    if static:
+        # sort-once / blend-many viewer path: the sorted entry table is
+        # reused across frames (ops/rasterize.bin_static + render_static)
+        from wildgaussians_tpu.ops.rasterize import bin_static, render_static
+
+        binning = jax.jit(lambda *a: bin_static(
+            *a, params, w, h, kernel_size=0.1,
+            max_tiles_per_gaussian=d_max, chunk=chunk,
+            d_small=d_small))(*args)
+        render = jax.jit(lambda b: render_static(
+            b, n_gaussians, w, h, max_tiles_per_gaussian=d_max,
+            chunk=chunk, d_small=d_small))
+
+        def step(*a):
+            color, final_t = render(binning)
+            return (jnp.mean(color), (jnp.int32(0), jnp.int32(0))), (color,)
+    elif fwd_only:
         # inference throughput: render only, no gradients
         def fwd(xyz, scales, rots, opac, colors):
             out = rasterize_gaussians(
@@ -160,15 +245,25 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mpix_s = (w * h) / dt / 1e6
-    kind = "fwd-only" if fwd_only else "fwd+bwd"
+    kind = ("static blend-only" if static
+            else "fwd-only" if fwd_only else "fwd+bwd")
+    if n_bench_passes > 1:
+        kind += f" x{n_bench_passes}-pass"
     result = {
         "metric": f"{kind} Mpix/s @{n_gaussians // 1000}k gaussians ({backend})",
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 4),
     }
-    if fwd_only:
+    if fwd_only or static:
         result["fps"] = round(1.0 / dt, 2)
+    # speed-of-light model for this design on one chip (see model_bound_ms)
+    d1 = min(d_small, d_max)
+    R_slots = n_gaussians * d1 + int(n_gaussians * 0.16) * (d_max - d1)
+    bound = model_bound_ms(int(num_rendered), R_slots, fwd_rows=6,
+                           bwd_rows=6, fwd_only=fwd_only or static)
+    result["model_bound_ms"] = round(bound, 1)
+    result["model_bound_fraction"] = round(bound / (dt * 1e3), 3)
     print(json.dumps(result))
     print(f"# step={dt * 1e3:.1f}ms loss={float(loss):.4f} "
           f"num_rendered={int(num_rendered)} overflow={int(overflow)} "

@@ -1,0 +1,142 @@
+"""Quality gate on a real-shaped COLMAP scene (VERDICT r2 #5).
+
+Builds a mini COLMAP dataset on disk with OUR writers (sparse/0 .bin model +
+PNG images with real rendered content + train/test split lists), loads it
+back through the real `load_colmap_dataset` + `dataset_load_features` path
+(u8 sRGB images, EXIF metadata, pose inversion), trains the method with
+appearance ON, and asserts train-view PSNR against a recorded target.
+
+Uncertainty stays DISABLED for the PSNR gate: without egress the DINO
+backbone runs with random weights, and a random-feature uncertainty head
+ACTIVELY degrades the fit (measured r3: loss_mult down-weights everything,
+densification stalls at n~376 vs 1246, PSNR 19.0 vs 22.2) — garbage
+features produce garbage masks, exactly as expected. Uncertainty LEARNING
+is gated separately by test_uncertainty.py::
+test_loss_mult_discriminates_occluder; with real pretrained weights
+(WG_DINO_WEIGHTS / HTTP cache) the full pipeline is the Photo Tourism
+path.
+
+Mirrors reference train.py:360-365 (eval-all protocol on a trained scene)
+at fixture scale.
+"""
+import numpy as np
+import jax.numpy as jnp
+import PIL.Image
+import pytest
+
+from helpers import make_scene
+
+
+def _write_colmap_fixture(rng, root, n_cams=8, width=72, height=56,
+                          n_points=250):
+    """Deterministic textured scene -> COLMAP .bin model + PNGs on disk."""
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.rasterize import rasterize_gaussians
+    from wildgaussians_tpu.types import new_cameras
+    from wildgaussians_tpu.datasets.colmap_utils import (
+        Camera, Image, Point3D, rotmat2qvec, write_model)
+
+    scene = make_scene(rng, n=n_points, spread=1.5, z_range=(3.0, 7.0))
+    (root / "images").mkdir(parents=True)
+    (root / "sparse" / "0").mkdir(parents=True)
+
+    f = width / (2 * np.tan(np.radians(50.0) / 2))
+    cameras = {1: Camera(id=1, model="PINHOLE", width=width, height=height,
+                         params=np.array([f, f, width / 2, height / 2],
+                                         np.float64))}
+    images = {}
+    names = []
+    for i in range(n_cams):
+        angle = (i - n_cams / 2) * 0.08
+        c2w = np.eye(4, dtype=np.float64)
+        c, s = np.cos(angle * 0.5), np.sin(angle * 0.5)
+        c2w[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+        c2w[0, 3] = np.sin(angle) * 4.0
+        c2w[2, 3] = 5.0 - np.cos(angle) * 5.0
+
+        cam = new_cameras(
+            poses=c2w[:3].astype(np.float32)[None],
+            intrinsics=np.array([[f, f, width / 2, height / 2]], np.float32),
+            camera_models=np.zeros((1,), np.int32),
+            distortion_parameters=np.zeros((1, 6), np.float32),
+            image_sizes=np.array([[width, height]], np.int32))
+        params, w, h = wc.make_camera_params(cam)
+        out = rasterize_gaussians(
+            jnp.asarray(scene["xyz"]), jnp.asarray(scene["scales"]),
+            jnp.asarray(scene["rotations"]), jnp.asarray(scene["opacities"]),
+            jnp.asarray(scene["colors"]), params, w, h,
+            kernel_size=0.1, backend="tiled")
+        img = np.clip(np.asarray(out.color), 0, 1)
+        # the rendered linear image IS the sRGB payload of the fixture
+        # (the loader asserts color_space == "srgb" for PNGs)
+        name = f"{i:03d}.png"
+        names.append(name)
+        PIL.Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
+            root / "images" / name)
+
+        w2c = np.linalg.inv(c2w)
+        images[i + 1] = Image(
+            id=i + 1, qvec=rotmat2qvec(w2c[:3, :3]), tvec=w2c[:3, 3],
+            camera_id=1, name=name,
+            xys=np.zeros((0, 2), np.float64),
+            point3D_ids=np.zeros((0,), np.int64))
+
+    noisy = scene["xyz"] + rng.normal(0, 0.05, scene["xyz"].shape)
+    points3D = {
+        j + 1: Point3D(id=j + 1, xyz=noisy[j].astype(np.float64),
+                       rgb=(scene["colors"][j] * 255).astype(np.uint8),
+                       error=np.float64(0.5),
+                       image_ids=np.array([1], np.int64),
+                       point2D_idxs=np.array([0], np.int64))
+        for j in range(n_points)}
+    write_model(cameras, images, points3D, root / "sparse" / "0", ".bin")
+
+    (root / "train_list.txt").write_text("\n".join(names[:-2]))
+    (root / "test_list.txt").write_text("\n".join(names[-2:]))
+    return scene
+
+
+@pytest.mark.slow
+def test_full_method_on_colmap_fixture(rng, tmp_path):
+    from wildgaussians_tpu.datasets.colmap import load_colmap_dataset
+    from wildgaussians_tpu.datasets.common import dataset_load_features
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+
+    root = tmp_path / "mini_colmap"
+    _write_colmap_fixture(rng, root)
+
+    feats = frozenset({"points3D_xyz", "points3D_rgb"})
+    train = dataset_load_features(
+        load_colmap_dataset(root, split="train", features=feats))
+    test = dataset_load_features(
+        load_colmap_dataset(root, split="test", features=feats))
+    assert len(train["images"]) == 6 and len(test["images"]) == 2
+    assert train["images"][0].dtype == np.uint8
+    assert train["points3D_xyz"].shape[1] == 3
+
+    steps = 480
+    overrides = dict(
+        iterations=steps,
+        appearance_enabled=True,            # appearance ON
+        appearance_embedding_dim=8,
+        uncertainty_mode="disabled",        # see module docstring
+        num_sky_gaussians=0,
+        sh_degree=1,
+        densify_from_iter=30, densification_interval=60,
+        densify_until_iter=375, opacity_reset_interval=10_000,
+        position_lr_max_steps=steps,
+    )
+    method = WildGaussians(train_dataset=train, config_overrides=overrides)
+    psnrs = []
+    for s in range(steps):
+        m = method.train_iteration(s)
+        psnrs.append(m["psnr"])
+        assert np.isfinite(m["loss"])
+    # recorded target: the appearance-only variant of this fixture reaches
+    # 22.2 dB at 480 steps (sparse 250-point noisy init, capacity growth
+    # crossed at ~step 250 — the run that caught the grow_capacity dict
+    # crash); gate with margin so real regressions (binning, appearance,
+    # uncertainty plumbing, COLMAP pose round-trip) trip it while training
+    # jitter does not. A broken pose round-trip reads ~10 dB.
+    final = float(np.mean(psnrs[-10:]))
+    assert final > 20.5, final

@@ -215,3 +215,24 @@ def test_pallas_multi_pass_grads_match_single(rng):
         # the multi-pass geo grads decode+sum f16-packed per-pass rows; the
         # single passes sum after the un-sort — bounded by f16 quantization
         np.testing.assert_allclose(a, b, atol=2e-3 * (np.abs(b).max() + 1e-8))
+
+
+def test_static_renderer_matches_forward(rng):
+    """bin_static + render_static (sort-once/blend-many viewer path) must
+    reproduce the training forward exactly: same table, same kernels."""
+    from wildgaussians_tpu.ops.rasterize import bin_static, render_static
+    import wildgaussians_tpu.cameras as wc
+    scene = make_scene(rng, n=150)
+    cam = make_camera(width=48, height=32)
+    params, w, h = wc.make_camera_params(cam)
+    args = _args(scene)
+    ref = rasterize_gaussians(*args, params, w, h, kernel_size=0.1,
+                              backend="pallas", max_tiles_per_gaussian=16)
+    binning = bin_static(*args, params, w, h, kernel_size=0.1,
+                         max_tiles_per_gaussian=16)
+    color, final_t = render_static(binning, args[0].shape[0], w, h,
+                                   max_tiles_per_gaussian=16)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(final_t), np.asarray(ref.final_T),
+                               atol=1e-6)

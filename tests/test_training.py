@@ -199,6 +199,40 @@ def test_overflow_auto_bump(rng):
     assert m.config.max_tiles_per_gaussian > before
 
 
+def test_send_drop_auto_grows_send_beta(rng):
+    """Persistent sharded-engine send drops grow pallas_send_beta directly
+    (the knob that actually fixes them), NOT the tile budget; pure tile
+    overflow still grows max_tiles_per_gaussian and leaves beta alone.
+    The drop counting itself (tight cap truncates, generous cap is exact)
+    is covered on the real mesh engine by test_send_cap.py."""
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+    dataset, _scene = _make_synthetic_dataset(rng, n_cams=2, width=64,
+                                              height=48, n_points=60)
+    overrides = dict(OVERRIDES)
+    overrides.update(iterations=30, rasterizer_backend="tiled",
+                     densify_from_iter=1000)
+    m = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+    beta0 = m.config.pallas_send_beta
+    d0 = m.config.max_tiles_per_gaussian
+    # send drops only -> beta grows, tile budget untouched
+    for _ in range(10):
+        m._maybe_grow_tile_budget(overflow=7.0, send_drops=7.0)
+    assert m.config.pallas_send_beta > beta0
+    assert m.config.max_tiles_per_gaussian == d0
+    # tile overflow only -> budget grows, beta untouched
+    beta1 = m.config.pallas_send_beta
+    for _ in range(10):
+        m._maybe_grow_tile_budget(overflow=5.0, send_drops=0.0)
+    assert m.config.max_tiles_per_gaussian > d0
+    assert m.config.pallas_send_beta == beta1
+    # drops gone -> streaks reset, nothing grows further
+    beta2, d2 = m.config.pallas_send_beta, m.config.max_tiles_per_gaussian
+    for _ in range(20):
+        m._maybe_grow_tile_budget(overflow=0.0, send_drops=0.0)
+    assert (m.config.pallas_send_beta, m.config.max_tiles_per_gaussian) \
+        == (beta2, d2)
+
+
 def test_size_bucketing_mixed_resolutions(rng):
     """size_bucket_multiple>0 pads each train image to its own bucket and
     compiles one step program per distinct canvas; training stays finite and

@@ -1,6 +1,17 @@
 """Round-2c: timing for batched-sort regroup feasibility.
 
-Compares (at current bench scale R~7.44M):
+SUPERSEDED by profile11.py (round 3), which fixes three defects flagged by
+the round-2 advisor and this header records for posterity:
+  - rank_via_matmul used bfloat16 one-hots/cumsums: bf16 cannot represent
+    integer ranks > 256 exactly, so its ranks are WRONG (timing-only) and
+    underestimate a correct f32 implementation (profile11 uses f32 and a
+    scan so only one [CH, NB] one-hot is live, instead of an ~11 GB
+    [Rc, 1024, 256] intermediate that OOMs at R = 7.44M);
+  - the scatter benchmark used a uniformly random permutation; bucketed
+    regroup positions are piecewise-monotone, which profile11 also times
+    (measured: monotone ~= random — the scatter wall is index processing).
+
+Original comparison (at bench scale R ~ 7.44M):
   - flat wide sort, current fwd payload count (key + 8 payload rows)
   - flat wide sort, current bwd payload count (key + 4 rows)
   - batched [C, E] sorts of the same total elements, same payloads

@@ -121,6 +121,11 @@ class Config:
     # forced automatically under a device mesh, where it is the only
     # shard-capable path)
     pallas_binning: str = "sort"
+    # Sharded sort engine: per-(sender, band) all-to-all send capacity as a
+    # multiple of the balanced load R_loc/D. Segments beyond the cap drop
+    # (surfaced via the send_drops metric); the trainer auto-grows this on
+    # persistent drops (_maybe_grow_tile_budget).
+    pallas_send_beta: float = 2.0
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

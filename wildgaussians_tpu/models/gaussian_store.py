@@ -468,16 +468,24 @@ def grow_capacity(params: dict, adam: AdamState, aux: AuxState,
     pad = new_capacity - c
 
     def padded(x):
-        if x.ndim == 0 or x.shape[0] != c:
+        # pad exactly the per-Gaussian leaves: capacity-length leading axis.
+        # Non-Gaussian entries (appearance MLP/embedding dicts, uncertainty
+        # head, scalars) pass through — matching on shape rather than a
+        # name list keeps nested param trees (appearance_mlp etc.) safe.
+        if getattr(x, "ndim", 0) == 0 or x.shape[0] != c:
             return x
         return jnp.concatenate([x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
 
-    params = {k: (padded(v) if k != "appearance_embeddings" else v)
-              for k, v in params.items()}
-    adam = AdamState(
-        mu={k: (padded(v) if k != "appearance_embeddings" else v) for k, v in adam.mu.items()},
-        nu={k: (padded(v) if k != "appearance_embeddings" else v) for k, v in adam.nu.items()},
-        step=adam.step)
+    def padded_tree(tree):
+        # appearance_embeddings is [num_images, D]: excluded by NAME (it
+        # must never be padded even if num_images == capacity)
+        return {k: (v if k == "appearance_embeddings"
+                    else jax.tree_util.tree_map(padded, v))
+                for k, v in tree.items()}
+
+    params = padded_tree(params)
+    adam = AdamState(mu=padded_tree(adam.mu), nu=padded_tree(adam.nu),
+                     step=adam.step)
     aux = AuxState(*[padded(x) if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == c else x
                      for x in aux])
     return params, adam, aux

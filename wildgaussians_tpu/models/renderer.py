@@ -5,7 +5,7 @@ method.py:1479-1632): builds camera matrices on device, evaluates SH colors,
 optionally tones them through the appearance MLP, and rasterizes up to three
 times per step (raw / toned / depth) sharing one preprocess+binning.
 """
-from typing import Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +27,9 @@ class RenderPkg(NamedTuple):
     depth: Optional[jnp.ndarray]   # [H,W] or None
     num_rendered: jnp.ndarray
     overflow: jnp.ndarray
+    # sharded-engine send-cap drops (subset of overflow): lets the trainer
+    # adapt send_beta directly instead of growing the tile budget
+    send_drops: Any = 0
 
 
 def render_internal(gaussians: Dict[str, jnp.ndarray],
@@ -132,6 +135,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             binning=getattr(config, "pallas_binning", "sort"),
             mesh=current_mesh(),
             grads_sharded=getattr(config, "shard_gaussian_store", False),
+            send_beta=getattr(config, "pallas_send_beta", 2.0),
             return_aux=True)
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
@@ -165,8 +169,9 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         binning=getattr(config, "pallas_binning", "sort"),
         grid=grid)
     # the sharded engine's send-cap drops are real truncated contributions
-    overflow = overflow + raster_aux.get("send_drops", 0)
+    send_drops = raster_aux.get("send_drops", 0)
+    overflow = overflow + send_drops
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
                      depth=depth, num_rendered=num_rendered,
-                     overflow=overflow)
+                     overflow=overflow, send_drops=send_drops)

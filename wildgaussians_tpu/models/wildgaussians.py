@@ -373,6 +373,7 @@ class WildGaussians:
                 lambda a, b: jnp.where(do_step, a, b), new_adam, adam)
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
+            metrics["send_drops"] = jnp.asarray(pkg.send_drops)
             return params, adam, aux, metrics, new_bn
 
         # Pin the OUTPUT shardings of the store explicitly: letting GSPMD
@@ -503,7 +504,8 @@ class WildGaussians:
 
         out = {k: float(v) for k, v in metrics.items()}
         out["num_gaussians"] = int(jnp.sum(self.aux.alive))
-        self._maybe_grow_tile_budget(out.get("overflow", 0.0))
+        self._maybe_grow_tile_budget(out.get("overflow", 0.0),
+                                     out.get("send_drops", 0.0))
         self.step = step + 1
         return out
 
@@ -570,7 +572,7 @@ class WildGaussians:
         self.aux = jax.tree_util.tree_map(lambda x: x, put(self.aux))
         self._store_on_mesh = mesh
 
-    def _maybe_grow_tile_budget(self, overflow: float):
+    def _maybe_grow_tile_budget(self, overflow: float, send_drops: float = 0.0):
         """Auto-bump the per-Gaussian tile budget on persistent truncation.
 
         Mirrors _maybe_grow_capacity for the rasterizer's fixed duplication
@@ -578,8 +580,29 @@ class WildGaussians:
         time (ops/binning.py docstring), so a sustained nonzero overflow
         count triggers a staged recompile with a larger
         max_tiles_per_gaussian (and a deeper big-Gaussian pool).
+
+        Send-cap drops (sharded engine: a skewed scene overfilling one
+        (sender, band) all-to-all segment) are adapted SEPARATELY: they are
+        fixed by a larger send buffer, not a deeper tile budget, so a
+        persistent nonzero send_drops grows pallas_send_beta directly.
         """
-        self._overflow_streak = self._overflow_streak + 1 if overflow > 0 else 0
+        streak = self.__dict__.setdefault("_send_drop_streak", 0)
+        self._send_drop_streak = streak + 1 if send_drops > 0 else 0
+        if self._send_drop_streak >= 10:
+            old_beta = self.config.pallas_send_beta
+            self.config.pallas_send_beta = old_beta * 1.5
+            logger.info(
+                "Persistent sharded-engine send drops (%d steps): growing "
+                "send_beta %.2f -> %.2f (staged recompile)",
+                self._send_drop_streak, old_beta,
+                self.config.pallas_send_beta)
+            self._send_drop_streak = 0
+            self._step_cache.clear()
+            self._render_fn.cache_clear()
+
+        tile_overflow = overflow - send_drops
+        self._overflow_streak = (self._overflow_streak + 1
+                                 if tile_overflow > 0 else 0)
         if self._overflow_streak < 10:
             return
         old = self.config.max_tiles_per_gaussian
@@ -595,15 +618,13 @@ class WildGaussians:
         self._step_cache.clear()
         self._render_fn.cache_clear()
 
-    @functools.lru_cache(maxsize=None)
-    def _gt336_shapes(self):
-        return {}
-
     def _gt336_cached(self, camera_id, gt, aw, ah):
         """Fixed-size (DINO_SIZE) letterbox of the valid GT region + pixel-
-        and patch-level content masks, cached per camera."""
+        and patch-level content masks, cached per camera (plain instance
+        dict — an lru_cache on a method would pin self and every canvas
+        for the process lifetime)."""
         from .uncertainty import resize_valid, content_mask, DINO_SIZE
-        cache = self._gt336_shapes()
+        cache = self.__dict__.setdefault("_gt336_cache", {})
         if camera_id not in cache:
             lb = self.config.uncertainty_dino_letterbox
             gt336 = resize_valid(gt, DINO_SIZE, DINO_SIZE,

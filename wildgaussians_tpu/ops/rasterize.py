@@ -150,3 +150,60 @@ def rasterize_gaussians(means3d: jnp.ndarray,
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)
+
+
+class StaticBinning(NamedTuple):
+    """Sorted entry table for the static fast path (see bin_static)."""
+    table: jnp.ndarray        # [table_w, R_pad] packed entries
+    tile_starts: jnp.ndarray  # [T+1]
+    tile_counts: jnp.ndarray  # [T]
+
+
+def bin_static(means3d, scales, rotations, opacities, colors,
+               camera: CameraParams, width: int, height: int, *,
+               kernel_size: float, alive=None, tile_size: int = 16,
+               max_tiles_per_gaussian: int = 16, chunk: int = 256,
+               d_small: int = 4, big_fraction: float = 0.16,
+               scale_modifier: float = 1.0) -> StaticBinning:
+    """Preprocess + cull + sort ONCE for a static (scene, camera) pair.
+
+    The sort-once / blend-many inference path: 3DGS viewers amortize
+    binning across re-blends (appearance/tone edits, multi-output renders)
+    — cf. the reference's real-time claim (README.md:27). Pair with
+    render_static; pallas backend only.
+    """
+    from .rasterize_pallas import _make_static_renderer
+    cov3d = compute_cov3d(scales, rotations, scale_modifier)
+    pre = preprocess(means3d, cov3d, opacities, camera, width, height,
+                     kernel_size, tile_size=tile_size, alive=alive)
+    grid = make_grid(width, height, tile_size)
+    bin_fn, _blend = _make_static_renderer(
+        grid, chunk, means3d.shape[0], max_tiles_per_gaussian, 1,
+        d_small, big_fraction, True)
+    table, starts, counts = bin_fn(
+        pre.mean2d, pre.conic, pre.opacity, colors[None], pre.depth,
+        pre.rect_min, pre.rect_max,
+        jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian), pre.valid)
+    return StaticBinning(table, starts, counts)
+
+
+def render_static(binning: StaticBinning, n: int, width: int, height: int,
+                  *, bg=None, tile_size: int = 16,
+                  max_tiles_per_gaussian: int = 16, chunk: int = 256,
+                  d_small: int = 4, big_fraction: float = 0.16):
+    """Blend a pre-binned static scene: returns (color [H,W,3], final_T).
+
+    `n`/knobs must match the bin_static call (they select the compiled
+    kernel family)."""
+    from .rasterize_pallas import _make_static_renderer
+    from .rasterize_tiled import tiles_to_image
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    grid = make_grid(width, height, tile_size)
+    _bin, blend_fn = _make_static_renderer(
+        grid, chunk, n, max_tiles_per_gaussian, 1, d_small, big_fraction,
+        True)
+    pack = blend_fn(binning.table, binning.tile_starts, binning.tile_counts,
+                    bg)[0]
+    return (tiles_to_image(pack[:, :, 0:3], grid),
+            tiles_to_image(pack[:, :, 3], grid))

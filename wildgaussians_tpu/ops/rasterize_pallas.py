@@ -36,8 +36,13 @@ Entry table layouts (f32-typed; u32 rows ride as bit patterns):
 Slot layout is CELL-MAJOR: tier-1 slot (cell j, gaussian g) = j * n + g, so
 payload expansion is a leading-axis broadcast (no relayout) and the backward
 slot reduction reshape is layout-free.
-Per-entry gradient rows: dmx, dmy, da, db, dc, dop, dr, dg, db, dabsx, dabsy.
-Forward output is packed [T, 256, 8]: cols 0..2 = rgb, col 3 = final_T.
+Per-entry gradient values (f16-pair rows, sequential):
+dmx, dmy, da, db, dc, dop, dabsx, dabsy, then r,g,b per color pass.
+Multi-pass rendering is FUSED (round 3): one kernel traversal blends and
+back-propagates every color pass (raw / appearance-toned / depth share the
+alpha/transmittance recurrence; final_T is shared). Forward output is
+packed [T, 256, OW]: pass-i colors at cols [3i:3i+3], final_T at col
+3*n_passes (OW = 4*n_passes rounded up to 8).
 """
 import functools
 
@@ -54,6 +59,20 @@ P_PIX = 256  # 16x16 tile
 ATTR_W = 16
 GRAD_W = 8   # backward grad rows when packed in-kernel (6 used + pad)
 _HIGH = jax.lax.Precision.HIGHEST
+
+# Experiment knob (WG_TRIU_BF16=1): run the in-kernel prefix matmuls with
+# bf16 operands (1 MXU pass) instead of f32. Measures how much of the
+# kernel time is MXU passes; NOT a production default — bf16 log-space
+# prefixes cost ~0.4% relative error on transmittance.
+import os as _os
+_TRIU_BF16 = _os.environ.get("WG_TRIU_BF16", "0") == "1"
+
+
+def _prefix_dot(l, triu):
+    if _TRIU_BF16:
+        return jax.lax.dot(l.astype(jnp.bfloat16), triu.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    return jnp.dot(l, triu, preferred_element_type=jnp.float32)
 
 
 def _f16_bits(x):
@@ -196,7 +215,7 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
     alpha = jnp.minimum(ALPHA_MAX, op * e)
     use = em & (power <= 0.0) & (alpha >= ALPHA_MIN)
     l = jnp.where(use, jnp.log1p(-jnp.where(use, alpha, 0.0)), 0.0)
-    S = jnp.dot(l, triu, preferred_element_type=jnp.float32)   # inclusive
+    S = _prefix_dot(l, triu)   # inclusive
     # exclusive transmittance via exp(S)/(1-alpha): one [P,K] exp + a divide
     # instead of two exps (transcendentals dominate the VPU cost here)
     t_inc = t_carry * jnp.exp(S)
@@ -229,10 +248,32 @@ def _read_colors(entries, col0, packed):
     return jnp.concatenate([r, g, b], axis=0)                    # [3,K]
 
 
+def _out_width(n_passes: int) -> int:
+    """Fused fwd/bwd pack width: 3 color cols per pass + per-pass scalar
+    col (final_T / gt_eff), 8-aligned. n_passes=1 keeps the historical
+    [.., 8] layout (color 0:3, T at 3)."""
+    return max(((4 * n_passes + 7) // 8) * 8, 8)
+
+
+def _grad_width(n_passes: int) -> int:
+    """Fused in-kernel-packed gradient rows: 8 geo + 3 colors per pass as
+    f16 pairs, 8-aligned (Mosaic sublane alignment for the DMA blocks).
+    n_passes=1 -> 8 (= GRAD_W, historical)."""
+    used = (8 + 3 * n_passes + 1) // 2
+    return max(((used + 7) // 8) * 8, 8)
+
+
 def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
                 ebuf, sem,
-                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0,
+                *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
                 packed: bool = False):
+    """Fused multi-pass tile blend: ALL color passes (raw / appearance-toned
+    / depth, reference method.py:1573-1631) share ONE traversal — the
+    alpha/transmittance recurrence (the expensive VPU part) is computed
+    once, each extra pass adds one color read + one [P,K]x[K,3] matmul.
+    Output layout: pass i colors at cols [3i:3i+3], final_T at col
+    3*n_passes (shared across passes — identical geometry)."""
+    np_ = len(col0s)
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -268,14 +309,16 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
         em = (pos >= 0) & (pos < count)
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0,
                              packed)
-        col = _read_colors(entries, col0, packed)                # [3,K]
-        color = color + jax.lax.dot_general(
-            st["w"], col, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [P,3]
+        color = color + jnp.concatenate(
+            [jax.lax.dot_general(
+                st["w"], _read_colors(entries, c0, packed),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [P,3]
+             for c0 in col0s], axis=1)                           # [P,3*np]
         return c + 1, color, st["new_t"], st["new_stopped"]
 
     init = (jnp.int32(0),
-            jnp.zeros((P_PIX, 3), jnp.float32),
+            jnp.zeros((P_PIX, 3 * np_), jnp.float32),
             jnp.ones((P_PIX, 1), jnp.float32),
             jnp.zeros((P_PIX, 1), jnp.float32))
     c_fin, color, t_carry, _ = jax.lax.while_loop(cond, body, init)
@@ -286,14 +329,23 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
         _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin, K,
                    jax.lax.rem(c_fin, 2)).wait()
 
+    ow = _out_width(np_)
     out_pack[0, :, :] = jnp.concatenate(
-        [color, t_carry, jnp.zeros((P_PIX, 4), jnp.float32)], axis=1)
+        [color, t_carry,
+         jnp.zeros((P_PIX, ow - 3 * np_ - 1), jnp.float32)], axis=1)
 
 
 def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
-                *, grid: TileGrid, K: int, col0: int = 6, a0: int = 0,
+                *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
                 packed: bool = False, grad_packed: bool = False):
+    """Fused multi-pass backward: one traversal recomputes the forward
+    recurrence ONCE; per pass only the color contraction / prefix / dcol
+    differ, and their dalpha contributions are linear so they sum into a
+    single gradient chain. cot/fwd packs use the _fwd_kernel layout (pass-i
+    cols [3i:3i+3]; col 3*np = per-pass gt_eff in cot, shared final_T in
+    fwd ... cot gt_eff of pass i sits at col 3*np + i)."""
+    np_ = len(col0s)
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -319,11 +371,16 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, 128), K)],
                 hbuf, sem3).start()
 
-    gc = cot_pack[0, :, 0:3]                     # [P,3]
-    gt_eff = cot_pack[0, :, 3:4]                 # [P,1]
-    out_nobg = fwd_pack[0, :, 0:3]
-    final_t = fwd_pack[0, :, 3:4]
-    out_dot_g = jnp.sum(out_nobg * gc, axis=1, keepdims=True)    # [P,1]
+    gcs = [cot_pack[0, :, 3 * i:3 * i + 3] for i in range(np_)]  # [P,3] each
+    gt_effs = [cot_pack[0, :, 3 * np_ + i:3 * np_ + i + 1]
+               for i in range(np_)]                              # [P,1] each
+    final_t = fwd_pack[0, :, 3 * np_:3 * np_ + 1]                # shared
+    gte_sum = gt_effs[0]
+    for ge in gt_effs[1:]:
+        gte_sum = gte_sum + ge
+    # per-pass total of out_nobg . gc (suffix base)
+    out_dot_gs = [jnp.sum(fwd_pack[0, :, 3 * i:3 * i + 3] * gcs[i],
+                          axis=1, keepdims=True) for i in range(np_)]
 
     def cond(state):
         c, t_carry, _acc, _stopped = state
@@ -345,15 +402,30 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                              packed)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
-        col = _read_colors(entries, col0, packed)                    # [3,K]
-        cg = jnp.dot(gc, col, preferred_element_type=jnp.float32)    # [P,K]
-        wcg = w * cg
-        prefix = jnp.dot(wcg, triu, preferred_element_type=jnp.float32) + acc_dot
-        suffix = out_dot_g - prefix
+        # per-pass color contractions; their dalpha contributions are
+        # linear, so only the SUMS feed the (expensive) shared grad chain
+        cg_sum = None          # sum_i gc_i . col_i            [P,K]
+        sfx_sum = None         # sum_i (out_dot_g_i - prefix_i) [P,K]
+        dcols = []             # per-pass [3,K]
+        acc_new = []
+        for i in range(np_):
+            col = _read_colors(entries, col0s[i], packed)            # [3,K]
+            cg = jnp.dot(gcs[i], col, preferred_element_type=jnp.float32)
+            wcg = w * cg
+            prefix = _prefix_dot(wcg, triu) + acc_dot[:, i:i + 1]
+            sfx = out_dot_gs[i] - prefix
+            cg_sum = cg if cg_sum is None else cg_sum + cg
+            sfx_sum = sfx if sfx_sum is None else sfx_sum + sfx
+            dcols.append(jax.lax.dot_general(
+                gcs[i], w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            acc_new.append(acc_dot[:, i:i + 1]
+                           + jnp.sum(wcg, axis=1, keepdims=True))
         one_m_a = jnp.where(use, 1.0 - alpha, 1.0)
         dalpha = jnp.where(
             st["contrib"],
-            st["t_at"] * cg - (suffix + gt_eff * final_t) / one_m_a, 0.0)
+            st["t_at"] * cg_sum - (sfx_sum + gte_sum * final_t) / one_m_a,
+            0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
         if packed:
             _b0, op = _unpack_row(entries, 4)
@@ -371,9 +443,6 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
         dpower = dalpha_eff * alpha
         dmx_pix = dpower * (-(ca * dx + cb * dy))
         dmy_pix = dpower * (-(cc * dy + cb * dx))
-        # dcol [3,K]: contract the pixel axis
-        dcol = jax.lax.dot_general(gc, w, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
 
         if packed:
             # mean/conic grads via PIXEL-BASIS MOMENTS on the MXU: with
@@ -412,25 +481,30 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
         dabsy = jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True)
         if grad_packed:
             # pack the per-entry gradients to f16 pairs IN-KERNEL: halves
-            # the grad write-back DMA (16 -> 8 rows) and hands the backward
-            # un-sort its payload rows ready-made. The downstream precision
-            # is identical — the un-sort already f16-packed these at the
-            # XLA level. Row order matches the unpacked layout pairwise:
-            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0).
-            g = jnp.concatenate([
-                _pack2_f16_k(dmx, dmy),
-                _pack2_f16_k(dca, dcb),
-                _pack2_f16_k(dcc, dop),
-                _pack2_f16_k(dabsx, dabsy),
-                _pack2_f16_k(dcol[0:1], dcol[1:2]),
-                _pack2_f16_k(dcol[2:3], jnp.zeros_like(dop)),
-                jnp.zeros((GRAD_W - 6, K), jnp.float32),
-            ], axis=0)
+            # the grad write-back DMA and hands the backward un-sort its
+            # payload rows ready-made. The downstream precision is
+            # identical — the un-sort f16-packed these at the XLA level
+            # historically. SEQUENTIAL pair layout over the value list
+            # [dmx,dmy,dca,dcb,dcc,dop,absx,absy, r_0,g_0,b_0, r_1,...]
+            # (n_passes=1 reproduces the historical
+            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0) rows).
+            vals = [dmx, dmy, dca, dcb, dcc, dop, dabsx, dabsy]
+            for dc in dcols:
+                vals += [dc[0:1], dc[1:2], dc[2:3]]
+            if len(vals) % 2:
+                vals.append(jnp.zeros_like(dop))
+            gw = _grad_width(np_)
+            g = jnp.concatenate(
+                [_pack2_f16_k(vals[2 * i], vals[2 * i + 1])
+                 for i in range(len(vals) // 2)]
+                + [jnp.zeros((gw - len(vals) // 2, K), jnp.float32)],
+                axis=0)
         else:
+            assert np_ == 1, "unpacked grads are single-pass only"
             g = jnp.concatenate([
                 dmx, dmy, dca, dcb, dcc,
                 dop,
-                dcol,
+                dcols[0],
                 dabsx,
                 dabsy,
                 jnp.zeros((ATTR_W - 11, K), jnp.float32),
@@ -456,11 +530,12 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                               egrad_hbm.at[:, pl.ds(off, K)],
                               sem2.at[gslot]).start()
 
-        acc_dot = acc_dot + jnp.sum(wcg, axis=1, keepdims=True)
-        return c + 1, st["new_t"], acc_dot, st["new_stopped"]
+        return (c + 1, st["new_t"], jnp.concatenate(acc_new, axis=1),
+                st["new_stopped"])
 
     init = (jnp.int32(0), jnp.ones((P_PIX, 1), jnp.float32),
-            jnp.zeros((P_PIX, 1), jnp.float32), jnp.zeros((P_PIX, 1), jnp.float32))
+            jnp.zeros((P_PIX, np_), jnp.float32),
+            jnp.zeros((P_PIX, 1), jnp.float32))
     c_fin, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     # drain: the early-exit prefetch and the last (up to two) grad writebacks.
@@ -507,50 +582,76 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tier2_merge(sums, big_list, bigs, n):
+    """Merge tier-2 per-Gaussian gradient sums into the dense [nr, n] rows.
+
+    ONE batched scatter with the index vector shared across rows (per-row
+    .at[].add calls cost ~1.6 ms EACH at bench scale). This scatter is
+    ~12.5 ms at m_cap = 240k — 52 ns/index — and round-3 A/Bs could not
+    beat it: a [n, nr] transpose is layout-assigned straight back to
+    n-minor (190.0 ms/step either way), and a 16-lane-padded slice scatter
+    ([m_cap, 16] rows into [n, 16], each index one contiguous 64 B slice)
+    measured WORSE (193.4 ms/step): XLA TPU scatter cost is per-index
+    bookkeeping, not write coalescing. A searchsorted+gather merge (the
+    other scatter-free form) is bounded below by the same ~7 ns/elem
+    random-access wall at n indices (~10.5 ms) — not worth the rewrite."""
+    return sums.at[:, jnp.minimum(big_list, n)].add(
+        jnp.where(big_list < n, bigs, 0.0), mode="drop")
+
+
 @functools.lru_cache(maxsize=64)
 def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
-                       table_w: int = ATTR_W, col0: int = 6, a0: int = 0,
+                       table_w: int = ATTR_W, col0=6, a0: int = 0,
                        T_prog: int = 0, packed: bool = False,
                        grad_packed: bool = False):
+    """col0 is an int (single pass, historical) or a tuple of per-pass
+    color-column offsets: a tuple builds FUSED multi-pass kernels (one
+    traversal blends / back-propagates every pass)."""
+    col0s = (col0,) if isinstance(col0, int) else tuple(col0)
+    np_ = len(col0s)
+    OW = _out_width(np_)
     T_tiles = T_prog or grid.num_tiles   # programs (= tiles this call blends)
     interpret = _interpret()
 
-    # dimension_semantics: the grid MUST stay sequential ("arbitrary") — the
-    # backward's cross-tile head-merge (see _bwd_kernel chunk-0 path) reads
-    # gradients the PREVIOUS tile wrote to the shared 128-aligned head block.
-    # Annotating "parallel" (the obvious megacore move) would silently race
-    # that merge; the merge needs a redesign (e.g. per-tile private head
-    # blocks + a second reduction) before the grid can ever be parallelized.
-    GW = GRAD_W if grad_packed else ATTR_W
+    # dimension_semantics: the FORWARD grid is "parallel" (megacore splits
+    # the tile range across cores): each program writes only its own
+    # out_pack block and the entry table is read-only, so there is no
+    # cross-program hazard. The BACKWARD grid MUST stay sequential
+    # ("arbitrary") — its cross-tile head-merge (see _bwd_kernel chunk-0
+    # path) reads gradients the PREVIOUS tile wrote to the shared
+    # 128-aligned head block; annotating "parallel" would silently race
+    # that merge (redesign needed: per-tile private head blocks + a
+    # second-pass block reduction).
+    GW = _grad_width(np_) if grad_packed else ATTR_W
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
+        functools.partial(_fwd_kernel, grid=grid, K=K, col0s=col0s, a0=a0,
                           packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=[pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0))],
+            out_specs=[pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
                 pltpu.VMEM((2, table_w, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((T_tiles, P_PIX, 8), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((T_tiles, P_PIX, OW), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid=grid, K=K, col0=col0, a0=a0,
+        functools.partial(_bwd_kernel, grid=grid, K=K, col0s=col0s, a0=a0,
                           packed=packed, grad_packed=grad_packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),                    # entries
-                pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0)),    # cot
-                pl.BlockSpec((1, P_PIX, 8), lambda i, *_: (i, 0, 0)),    # fwd out
+                pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0)),   # cot
+                pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0)),   # fwd out
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             scratch_shapes=[
@@ -805,6 +906,119 @@ def _cull_pack_entries(grid: TileGrid, d1: int, d_max: int, m_cap: int,
     return key_all, payload, big_list
 
 
+def _sort_engine_sizes(grid: TileGrid, K: int, n: int, d_max: int,
+                       n_passes: int, d_small: int, big_fraction: float,
+                       pack16: bool):
+    """Derived static sizes shared by the sort engine's vjp factory and the
+    static (sort-once, blend-many) renderer."""
+    d1 = min(d_small, d_max)
+    d2_extra = d_max - d1
+    # min(..., n): the big_list builder slices sort(bkey)[:m_cap] of an
+    # n-length array, so m_cap > n would silently shrink the tier-2 pieces
+    # and desync them from the R computed here (caught by the r3 verify
+    # drive's 3-gaussian scene)
+    m_cap = min(max(int(n * big_fraction), 8), n) if d2_extra > 0 else 0
+    R = n * d1 + m_cap * d2_extra
+    R_pad = ((R + K - 1) // K) * K + 2 * K
+    if pack16:
+        table_w = ((3 + 2 * n_passes + 7) // 8) * 8
+        col0s = [3 + 2 * i for i in range(n_passes)]
+    else:
+        table_w = ((6 + 3 * n_passes + 7) // 8) * 8
+        col0s = [6 + 3 * i for i in range(n_passes)]
+    tile_bits = max(int(grid.num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    return d1, d2_extra, m_cap, R, R_pad, table_w, col0s, depth_bits
+
+
+def _build_sorted_table(grid: TileGrid, K: int, n: int, d_max: int,
+                        n_passes: int, d_small: int, big_fraction: float,
+                        pack16: bool, mean2d, conic, opacity, colors_stack,
+                        depth, rect_min, rect_max, tiles_touched, valid):
+    """Corner-cull + compaction + ONE wide payload sort -> the kernels'
+    entry table. Returns (table, sorted_flat, tile_starts, tile_counts,
+    big_list). Shared by the training vjp and the static renderer."""
+    (d1, _d2, m_cap, R, R_pad, table_w, _col0s,
+     depth_bits) = _sort_engine_sizes(grid, K, n, d_max, n_passes, d_small,
+                                      big_fraction, pack16)
+    T_tiles = grid.num_tiles
+    key_all, payload, big_list = _cull_pack_entries(
+        grid, d1, d_max, m_cap, pack16, n_passes, depth_bits,
+        mean2d, conic, opacity, colors_stack, depth, rect_min,
+        rect_max, tiles_touched, valid)
+    flat = jnp.arange(R, dtype=jnp.int32)
+    # flat IS the iota tiebreaker a stable 1-key sort would add internally:
+    # 2-key unstable is ordering-identical ((key, flat) unique) and saves
+    # that internal u32 row of sort traffic
+    ops = jax.lax.sort((key_all, flat, *payload), num_keys=2,
+                       is_stable=False)
+    sorted_key, sorted_flat = ops[0], ops[1]
+
+    def as_f32(row):
+        if row.dtype == jnp.uint32:
+            return jax.lax.bitcast_convert_type(row, jnp.float32)
+        return row
+    rows = [as_f32(o)[None, :] for o in ops[2:]]
+    pad_rows = table_w - len(rows)
+    if pad_rows:
+        rows = rows + [jnp.zeros((pad_rows, R), jnp.float32)]
+    table = jnp.concatenate(rows, axis=0)
+    table = jnp.concatenate(
+        [table, jnp.zeros((table_w, R_pad - R), jnp.float32)], axis=1)
+
+    bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32)
+              << jnp.uint32(depth_bits))
+    tile_starts = jnp.searchsorted(sorted_key, bounds,
+                                   side="left").astype(jnp.int32)
+    tile_counts = tile_starts[1:] - tile_starts[:-1]
+    big_list_out = big_list if m_cap > 0 else jnp.zeros((0,), jnp.int32)
+    return table, sorted_flat, tile_starts, tile_counts, big_list_out
+
+
+@functools.lru_cache(maxsize=8)
+def _make_static_renderer(grid: TileGrid, K: int, n: int, d_max: int,
+                          n_passes: int = 1, d_small: int = 4,
+                          big_fraction: float = 0.16, pack16: bool = True):
+    """Sort-once / blend-many fast path for inference on a static scene.
+
+    3DGS viewers hit >100 fps by amortizing binning: the sorted entry table
+    only changes when the camera or the Gaussians move, so a viewer can
+    re-blend (e.g. for appearance embedding changes, tone edits, or
+    multi-pass outputs) without paying the sort. Returns (bin_fn, blend_fn):
+      bin_fn(mean2d, conic, opacity, colors_stack, depth, rect_min,
+             rect_max, tiles_touched, valid) -> (table, starts, counts)
+      blend_fn(table, starts, counts, bg) -> [n_passes, H', W', 4] packed
+        tiles (color 0:3, final_T 3) in TILE layout; use tiles_to_image.
+    Forward-only (no vjp). Cf. reference README.md:27 real-time claim.
+    """
+    (_d1, _d2, _m_cap, _R, R_pad, table_w, col0s,
+     _depth_bits) = _sort_engine_sizes(grid, K, n, d_max, n_passes, d_small,
+                                       big_fraction, pack16)
+    calls = _make_pallas_calls(grid, K, R_pad, table_w, tuple(col0s),
+                               packed=pack16, grad_packed=True)
+
+    def bin_fn(mean2d, conic, opacity, colors_stack, depth, rect_min,
+               rect_max, tiles_touched, valid):
+        table, _flat, starts, counts, _big = _build_sorted_table(
+            grid, K, n, d_max, n_passes, d_small, big_fraction, pack16,
+            mean2d, conic, opacity, colors_stack, depth, rect_min,
+            rect_max, tiles_touched, valid)
+        return table, starts, counts
+
+    def blend_fn(table, starts, counts, bg):
+        zb = jnp.zeros((1,), jnp.int32)
+        (pack,) = calls[0](zb, starts, counts, table)
+        final_t = pack[:, :, 3 * n_passes]
+        return jnp.stack(
+            [jnp.concatenate(
+                [pack[:, :, 3 * i:3 * i + 3]
+                 + final_t[..., None] * bg[None, None, :],
+                 final_t[..., None]], -1)
+             for i in range(n_passes)])
+
+    return bin_fn, blend_fn
+
+
 @functools.lru_cache(maxsize=32)
 def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                            n_passes: int = 1, d_small: int = 4,
@@ -830,31 +1044,18 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     # slot rows covering rect cells [d1, d_max). Cuts sort size 1.5-5x vs a
     # flat [n, d_max] slot matrix (measured p50 tiles/gaussian ~3-5, long
     # tail up to hundreds for sky points).
-    d1 = min(d_small, d_max)
-    d2_extra = d_max - d1
-    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    # (sizes shared with the static renderer: kernels read/write whole
+    # [*, K] blocks from the 128-aligned floor of each tile's start, so
+    # R_pad pads generously past the end; Mosaic requires the sublane dim
+    # of DMA-sliced HBM arrays 8-aligned, hence table_w round-up. Packed
+    # table rows: xy(1) + conic(3) + 2 per color pass; unpacked parity
+    # mode: xy(2) + conic(3) + op(1) + 3 per pass.)
+    (d1, d2_extra, m_cap, R, R_pad, table_w, col0s,
+     depth_bits) = _sort_engine_sizes(grid, K, n, d_max, n_passes, d_small,
+                                      big_fraction, pack16)
     slots1 = n * d1
-    slots2 = m_cap * d2_extra
-    R = slots1 + slots2
-    # kernels read/write whole [*, K] blocks from the 128-aligned floor of
-    # each tile's start: pad generously past the end
-    R_pad = ((R + K - 1) // K) * K + 2 * K
-    # Mosaic requires the sublane (row) dim of DMA-sliced HBM arrays to be
-    # 8-aligned
-    # packed table rows: xy(1) + conic(3) + 2 per color pass; unpacked
-    # (exact-parity mode): xy(2) + conic(3) + op(1) + 3 per pass
-    if pack16:
-        table_w = ((3 + 2 * n_passes + 7) // 8) * 8
-        col0s = [3 + 2 * i for i in range(n_passes)]
-    else:
-        table_w = ((6 + 3 * n_passes + 7) // 8) * 8
-        col0s = [6 + 3 * i for i in range(n_passes)]
-    calls = [_make_pallas_calls(grid, K, R_pad, table_w, c, packed=pack16,
-                                grad_packed=True)
-             for c in col0s]
-
-    tile_bits = max(int(T_tiles + 1).bit_length(), 1)
-    depth_bits = 32 - tile_bits
+    calls = _make_pallas_calls(grid, K, R_pad, table_w, tuple(col0s),
+                               packed=pack16, grad_packed=True)
 
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
@@ -862,34 +1063,11 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         # corner culling (26% of bench entries cull) and visible-cell
         # compaction (p86 <= 4 visible cells lets d_small shrink below the
         # raw-rect p90 of 6; slots and the cost of both wide sorts scale
-        # with d_small * n) — see _cull_pack_entries
-        key_all, payload, big_list = _cull_pack_entries(
-            grid, d1, d_max, m_cap, pack16, n_passes, depth_bits,
+        # with d_small * n) — see _cull_pack_entries / _build_sorted_table
+        return _build_sorted_table(
+            grid, K, n, d_max, n_passes, d_small, big_fraction, pack16,
             mean2d, conic, opacity, colors_stack, depth, rect_min,
             rect_max, tiles_touched, valid)
-        flat = jnp.arange(R, dtype=jnp.int32)
-        ops = jax.lax.sort((key_all, flat, *payload), num_keys=1)
-        sorted_key, sorted_flat = ops[0], ops[1]
-
-        def as_f32(row):
-            if row.dtype == jnp.uint32:
-                return jax.lax.bitcast_convert_type(row, jnp.float32)
-            return row
-        rows = [as_f32(o)[None, :] for o in ops[2:]]
-        pad_rows = table_w - len(rows)
-        if pad_rows:
-            rows = rows + [jnp.zeros((pad_rows, R), jnp.float32)]
-        table = jnp.concatenate(rows, axis=0)
-        table = jnp.concatenate(
-            [table, jnp.zeros((table_w, R_pad - R), jnp.float32)], axis=1)
-
-        bounds = (jnp.arange(T_tiles + 1, dtype=jnp.uint32)
-                  << jnp.uint32(depth_bits))
-        tile_starts = jnp.searchsorted(sorted_key, bounds,
-                                       side="left").astype(jnp.int32)
-        tile_counts = tile_starts[1:] - tile_starts[:-1]
-        big_list_out = big_list if m_cap > 0 else jnp.zeros((0,), jnp.int32)
-        return table, sorted_flat, tile_starts, tile_counts, big_list_out
 
     def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
                 rect_max, tiles_touched, valid, bg):
@@ -897,14 +1075,15 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
         zb = jnp.zeros((1,), jnp.int32)
-        Cs, Ts = [], []
-        for i in range(n_passes):
-            (pack,) = calls[i][0](zb, tile_starts, tile_counts, table)
-            final_t = pack[:, :, 3]
-            Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
-            Ts.append(final_t)
-        C = jnp.stack(Cs)
-        T = jnp.stack(Ts)
+        # ONE fused kernel run blends every pass (final_T is shared — the
+        # passes have identical geometry)
+        (pack,) = calls[0](zb, tile_starts, tile_counts, table)
+        final_t = pack[:, :, 3 * n_passes]
+        C = jnp.stack(
+            [pack[:, :, 3 * i:3 * i + 3]
+             + final_t[..., None] * bg[None, None, :]
+             for i in range(n_passes)])
+        T = jnp.broadcast_to(final_t[None], (n_passes,) + final_t.shape)
         return C, T, table, sorted_flat, tile_starts, tile_counts, big_list
 
     @jax.custom_vjp
@@ -929,62 +1108,45 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
          final_t) = res
         gC, gT = cot   # [np,T,P,3], [np,T,P]
 
-        geo_rows = None
-        color_rows = []
-        packed_rows = None
-        dbg = jnp.zeros((3,), jnp.float32)
-        for i in range(n_passes):
-            out_nobg = C_out[i] - final_t[i][..., None] * bg[None, None, :]
-            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg, precision=_HIGH)
-            cot_pack = jnp.concatenate(
-                [gC[i], gt_eff[..., None],
-                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            fwd_pack = jnp.concatenate(
-                [out_nobg, final_t[i][..., None],
-                 jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), tile_starts,
-                                tile_counts, table, cot_pack, fwd_pack)
-            # eg rows arrive f16-PAIR-packed from the kernel (grad_packed):
-            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0)
-            if n_passes == 1:
-                # single pass: the kernel output IS the un-sort payload
-                packed_rows = [
-                    jax.lax.bitcast_convert_type(eg[j, :R], jnp.uint32)
-                    for j in range(6)]
-            else:
-                # multi-pass: geo rows must SUM across passes — decode,
-                # accumulate, repack below
-                def dec(r):
-                    hi, lo = _unpack_row(eg[:, :R], r)
-                    return jnp.concatenate([hi, lo], axis=0)
-                g_geo = jnp.concatenate([dec(0), dec(1), dec(2), dec(3)],
-                                        axis=0)
-                geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
-                color_rows.append(jnp.concatenate([dec(4), dec(5)[0:1]],
-                                                  axis=0))
-            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t[i],
-                                   precision=_HIGH)
+        ft = final_t[0]                         # shared across passes
+        # fused cot/fwd packs: pass-i colors at [3i:3i+3], per-pass gt_eff
+        # at [3np+i] (cot) / shared final_T at [3np] (fwd)
+        gt_effs = [gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                      precision=_HIGH)
+                   for i in range(n_passes)]
+        ow = _out_width(n_passes)
+        cot_pack = jnp.concatenate(
+            [gC[i] for i in range(n_passes)]
+            + [ge[..., None] for ge in gt_effs]
+            + [jnp.zeros((T_tiles, P_PIX, ow - 4 * n_passes), jnp.float32)],
+            axis=-1)
+        fwd_pack = jnp.concatenate(
+            [C_out[i] - ft[..., None] * bg[None, None, :]
+             for i in range(n_passes)]
+            + [ft[..., None],
+               jnp.zeros((T_tiles, P_PIX, ow - 3 * n_passes - 1),
+                         jnp.float32)], axis=-1)
+        (eg,) = calls[1](jnp.zeros((1,), jnp.int32), tile_starts,
+                         tile_counts, table, cot_pack, fwd_pack)
+        dbg = jnp.einsum("itpc,tp->c", gC, ft, precision=_HIGH)
 
+        # eg rows arrive f16-PAIR-packed from the fused kernel: sequential
+        # pairs over [dmx,dmy,dca,dcb,dcc,dop,absx,absy, r_i,g_i,b_i ...]
+        n_rows = 8 + 3 * n_passes   # real grad values
+        n_packed = (n_rows + 1) // 2
         # rows beyond the covered region were never written by the kernels
         covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
-        if packed_rows is not None:
-            packed = [jnp.where(covered, r, jnp.uint32(0))
-                      for r in packed_rows]
-        else:
-            all_rows = [geo_rows[j] for j in range(8)]
-            for cr in color_rows:
-                all_rows += [cr[0], cr[1], cr[2]]
-            all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
-            # the un-sort's cost scales with payload rows: pack f16 PAIRS
-            # into u32 payloads (sort moves payloads bit-exactly; the ~0.05%
-            # f16 rounding only touches per-entry gradients that are summed)
-            if len(all_rows) % 2:
-                all_rows.append(jnp.zeros((R,), jnp.float32))
-            packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
-                      for i in range(len(all_rows) // 2)]
+        packed = [jnp.where(covered,
+                            jax.lax.bitcast_convert_type(eg[j, :R],
+                                                         jnp.uint32),
+                            jnp.uint32(0))
+                  for j in range(n_packed)]
         # sorted_flat is a PERMUTATION (unique keys): is_stable=False is
         # result-identical and saves the iota tiebreaker row XLA appends to
-        # stable payload sorts — one less u32 row of sort traffic
+        # stable payload sorts — one less u32 row of sort traffic. (A/B
+        # measured r3: stable here is 202.2 ms/step vs 190.0 unstable, so
+        # the naive marginal-cost-per-row arithmetic from key-only
+        # microbenches does NOT transfer; keep unstable.)
         unsorted_packed = jax.lax.sort((sorted_flat, *packed), num_keys=1,
                                        is_stable=False)
 
@@ -992,8 +1154,6 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             word = unsorted_packed[1 + i // 2]
             half = (word >> 16) if i % 2 == 0 else (word & jnp.uint32(0xFFFF))
             return _f16_bits_to_f32(half)
-
-        n_rows = 8 + 3 * n_passes   # real grad rows (excl. the pack pad row)
 
         def slot_base(i):
             # cell-major slots: per-gaussian totals are sums of d 1-D SLICES
@@ -1016,13 +1176,9 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         sums = jnp.stack([slot_base(i) for i in range(n_rows)])   # [nr, n]
         if m_cap > 0:
-            # ONE batched scatter for the tier-2 merge: per-row .at[].add
-            # calls cost ~1.6 ms EACH at bench scale (the scatter dominates,
-            # not the slice sums) — sharing the index vector across rows
-            # runs the whole merge in a single scatter pass
-            bigs = jnp.stack([slot_big(i) for i in range(n_rows)])
-            sums = sums.at[:, jnp.minimum(big_list, n)].add(
-                jnp.where(big_list < n, bigs, 0.0), mode="drop")
+            sums = _tier2_merge(sums, big_list,
+                                jnp.stack([slot_big(i)
+                                           for i in range(n_rows)]), n)
         dmean2d = sums[0:2].T
         dconic = sums[2:5].T
         dop = sums[5]
@@ -1097,7 +1253,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     n_loc = n // D
     d1 = min(d_small, d_max)
     d2_extra = d_max - d1
-    m_cap = max(int(n_loc * big_fraction), 8) if d2_extra > 0 else 0
+    m_cap = (min(max(int(n_loc * big_fraction), 8), n_loc)
+             if d2_extra > 0 else 0)
     slots1 = n_loc * d1
     slots2 = m_cap * d2_extra
     R_loc = slots1 + slots2
@@ -1117,9 +1274,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     else:
         table_w = _round_up(6 + 3 * n_passes, 8)
         col0s = [6 + 3 * i for i in range(n_passes)]
-    calls = [_make_pallas_calls(grid, K, RB_pad, table_w, c, 0, T_band,
-                                packed=pack16, grad_packed=True)
-             for c in col0s]
+    calls = _make_pallas_calls(grid, K, RB_pad, table_w, tuple(col0s), 0,
+                               T_band, packed=pack16, grad_packed=True)
 
     SENT = jnp.uint32(0xFFFFFFFF)
 
@@ -1198,11 +1354,9 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         counts = starts[1:] - starts[:-1]
 
         tb = (my_t0.astype(jnp.int32))[None]
-        packs = []
-        for i in range(n_passes):
-            (pack,) = calls[i][0](tb, starts, counts, table)
-            packs.append(pack)
-        pack_stack = jnp.stack(packs)            # [np, T_band, P_PIX, 8]
+        # ONE fused kernel run blends every pass
+        (pack_stack,) = calls[0](tb, starts, counts, table)
+        # [T_band, P_PIX, OW]: pass-i colors at [3i:3i+3], T at [3*np]
         # send-cap accounting (NO silent caps): entries beyond C in any
         # (sender, band) segment were dropped from the exchange
         seg_sizes = seg[1:] - seg[:-1]
@@ -1221,50 +1375,30 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         my_t0 = jax.lax.axis_index(mesh_axis).astype(jnp.int32) * T_band
         tb = my_t0[None]
 
-        geo_rows = None
-        color_rows = []
-        packed_rows = None
-        dbg = jnp.zeros((3,), jnp.float32)
-        for i in range(n_passes):
-            final_t = pack_stack[i, :, :, 3]
-            gt_eff = gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
-                                        precision=_HIGH)
-            cot_pack = jnp.concatenate(
-                [gC[i], gt_eff[..., None],
-                 jnp.zeros((T_band, P_PIX, 4), jnp.float32)], axis=-1)
-            (eg,) = calls[i][1](tb, starts, counts, table, cot_pack,
-                                pack_stack[i])
-            # kernel-packed grad rows (see the sort engine's bwd)
-            if n_passes == 1:
-                packed_rows = [
-                    jax.lax.bitcast_convert_type(eg[j, :RB], jnp.uint32)
-                    for j in range(6)]
-            else:
-                def dec(r):
-                    hi, lo = _unpack_row(eg[:, :RB], r)
-                    return jnp.concatenate([hi, lo], axis=0)
-                g_geo = jnp.concatenate([dec(0), dec(1), dec(2), dec(3)],
-                                        axis=0)
-                geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
-                color_rows.append(jnp.concatenate([dec(4), dec(5)[0:1]],
-                                                  axis=0))
-            dbg = dbg + jnp.einsum("tpc,tp->c", gC[i], final_t,
-                                   precision=_HIGH)
+        final_t = pack_stack[:, :, 3 * n_passes]    # shared across passes
+        gt_effs = [gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
+                                      precision=_HIGH)
+                   for i in range(n_passes)]
+        ow = _out_width(n_passes)
+        cot_pack = jnp.concatenate(
+            [gC[i] for i in range(n_passes)]
+            + [ge[..., None] for ge in gt_effs]
+            + [jnp.zeros((T_band, P_PIX, ow - 4 * n_passes), jnp.float32)],
+            axis=-1)
+        # the fused fwd pack already holds background-free colors per pass
+        # + shared T, exactly the layout the fused bwd kernel reads
+        (eg,) = calls[1](tb, starts, counts, table, cot_pack, pack_stack)
+        dbg = jnp.einsum("itpc,tp->c", gC, final_t, precision=_HIGH)
         dbg = jax.lax.psum(dbg, mesh_axis)
 
+        n_rows = 8 + 3 * n_passes
+        n_packed = (n_rows + 1) // 2
         covered = jnp.arange(RB, dtype=jnp.int32) < starts[T_band]
-        if packed_rows is not None:
-            packed = [jnp.where(covered, r, jnp.uint32(0))
-                      for r in packed_rows]
-        else:
-            all_rows = [geo_rows[j] for j in range(8)]
-            for cr in color_rows:
-                all_rows += [cr[0], cr[1], cr[2]]
-            all_rows = [jnp.where(covered, r, 0.0) for r in all_rows]
-            if len(all_rows) % 2:
-                all_rows.append(jnp.zeros((RB,), jnp.float32))
-            packed = [_pack2_f16(all_rows[2 * i], all_rows[2 * i + 1])
-                      for i in range(len(all_rows) // 2)]
+        packed = [jnp.where(covered,
+                            jax.lax.bitcast_convert_type(eg[j, :RB],
+                                                         jnp.uint32),
+                            jnp.uint32(0))
+                  for j in range(n_packed)]
 
         # receive order <- band-sorted order, then reverse the all-to-all:
         # chunk b of `back` = gradients of the entries I sent to band b,
@@ -1328,9 +1462,9 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         sums = jnp.stack([slot_base(i) for i in range(n_rows)])
         if m_cap > 0:
-            bigs = jnp.stack([slot_big(i) for i in range(n_rows)])
-            sums = sums.at[:, jnp.minimum(big_list, n_loc)].add(
-                jnp.where(big_list < n_loc, bigs, 0.0), mode="drop")
+            sums = _tier2_merge(sums, big_list,
+                                jnp.stack([slot_big(i)
+                                           for i in range(n_rows)]), n_loc)
         dmean2d = sums[0:2].T
         dconic = sums[2:5].T
         dop = sums[5]
@@ -1348,11 +1482,12 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         sfwd, mesh=mesh,
         in_specs=(gspec2, gspec2, gspec, cspec, gspec, gspec2, gspec2,
                   gspec, gspec, SP()),
-        out_specs=(SP(None, mesh_axis), SP()) + res_spec, check_vma=False)
+        # fused pack: [T_shpad, P, OW] with tile bands on axis 0
+        out_specs=(SP(mesh_axis), SP()) + res_spec, check_vma=False)
 
     bwd_sharded = shard_map(
         sbwd, mesh=mesh,
-        in_specs=res_spec + (SP(None, mesh_axis),
+        in_specs=res_spec + (SP(mesh_axis),
                              SP(None, mesh_axis), SP(None, mesh_axis), SP()),
         out_specs=(gspec2, gspec2, gspec, SP(None, mesh_axis, None),
                    gspec2, SP()), check_vma=False)
@@ -1369,11 +1504,15 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                 rect_max, tiles_touched, valid, bg):
         outs = fwd_sharded(mean2d, conic, opacity, colors_stack, depth,
                            rect_min, rect_max, tiles_touched, valid, bg)
-        pack_stack, send_drops, res = outs[0], outs[1], outs[2:]
-        final_t = pack_stack[:, :T_tiles, :, 3]
-        C_out = (pack_stack[:, :T_tiles, :, 0:3]
-                 + final_t[..., None] * bg[None, None, None, :])
-        return C_out, final_t, send_drops, pack_stack, res
+        pack, send_drops, res = outs[0], outs[1], outs[2:]
+        # fused pack [T_shpad, P, OW]: pass-i colors at [3i:3i+3], shared T
+        ft = pack[:T_tiles, :, 3 * n_passes]
+        C_out = jnp.stack(
+            [pack[:T_tiles, :, 3 * i:3 * i + 3]
+             + ft[..., None] * bg[None, None, :]
+             for i in range(n_passes)])
+        final_t = jnp.broadcast_to(ft[None], (n_passes,) + ft.shape)
+        return C_out, final_t, send_drops, pack, res
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
@@ -1466,7 +1605,11 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     B = 16
     d1 = min(d_small, d_max)
     d2_extra = d_max - d1
-    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    # min(..., n): the big_list builder slices sort(bkey)[:m_cap] of an
+    # n-length array, so m_cap > n would silently shrink the tier-2 pieces
+    # and desync them from the R computed here (caught by the r3 verify
+    # drive's 3-gaussian scene)
+    m_cap = min(max(int(n * big_fraction), 8), n) if d2_extra > 0 else 0
     tiered = m_cap > 0
     n_pad = _round_up(n, E)
     L1 = num_passes(PRESORT_NB, B)
@@ -1844,7 +1987,11 @@ def _make_gather_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     T_tiles = grid.num_tiles
     d1 = min(d_small, d_max)
     d2_extra = d_max - d1
-    m_cap = max(int(n * big_fraction), 8) if d2_extra > 0 else 0
+    # min(..., n): the big_list builder slices sort(bkey)[:m_cap] of an
+    # n-length array, so m_cap > n would silently shrink the tier-2 pieces
+    # and desync them from the R computed here (caught by the r3 verify
+    # drive's 3-gaussian scene)
+    m_cap = min(max(int(n * big_fraction), 8), n) if d2_extra > 0 else 0
     slots1 = n * d1
     slots2 = m_cap * d2_extra
     R = slots1 + slots2
