@@ -1,0 +1,86 @@
+"""Per-pass cost of the Pallas radix-partition engine vs B (buckets/pass)
+and E (chunk size), at bench scale, after the round-3 fast paths.
+
+Round-2 recorded ~12.5 ns/entry/pass at B=16, E=256 (~93 ms per 7.44M-entry
+pass), dominated by per-bucket ring appends (~150 ns/busy bucket/chunk) and
+~1 us fixed per-chunk cost. Bigger E amortizes both; this probe checks how
+far that goes, and what the exact-inverse pass costs under the same config.
+A 12-bit tile partition needs: B=16 -> 3 passes, B=64 -> 2 passes.
+To beat lax.sort the engine needs fwd passes totalling < ~28 ms (36.1 ms
+sort minus the n-sized depth presort it adds) and inverse passes < 41.6 ms.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wildgaussians_tpu.ops.partition import (radix_partition,
+                                             radix_unpartition)
+
+
+def main():
+    R = int(os.environ.get("R", 7_440_384))   # divisible by 1024
+    rows = 8
+    rng = np.random.default_rng(0)
+
+    for num_buckets, B, E, CPB in [
+            (16, 16, 256, 8),
+            (16, 16, 1024, 8),
+            (64, 64, 512, 8),
+            (64, 64, 1024, 8),
+            (64, 64, 2048, 4),
+            (4096, 64, 1024, 8),   # 2-pass full 12-bit tile partition
+    ]:
+        if R % E:
+            Ruse = (R // E) * E
+        else:
+            Ruse = R
+        keys = rng.integers(0, num_buckets, Ruse).astype(np.float32)
+        payload = rng.uniform(size=(rows - 1, Ruse)).astype(np.float32)
+        table = jnp.asarray(np.concatenate([keys[None], payload]))
+
+        fwd = jax.jit(lambda t: radix_partition(
+            t, num_buckets, B=B, E=E, CPB=CPB)[0])
+        try:
+            out = fwd(table)
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001
+            print(f"B={B} E={E} nb={num_buckets}: FWD FAILED "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fwd(table)
+        jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / 5 * 1e3
+        import math
+        L = max(1, math.ceil(math.log(num_buckets, B)))
+        print(f"nb={num_buckets} B={B} E={E} CPB={CPB}: fwd {ms:.1f} ms "
+              f"({L} pass(es), {ms/L/Ruse*1e6:.2f} ns/entry/pass)",
+              flush=True)
+
+        # inverse at the same config
+        def run_inv(t):
+            part, meta = radix_partition(t, num_buckets, B=B, E=E, CPB=CPB)
+            g = part  # same widths; inverse ignores key semantics
+            return radix_unpartition(g, meta, CPB=CPB)
+        inv = jax.jit(run_inv)
+        try:
+            out2 = inv(table)
+            jax.block_until_ready(out2)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out2 = inv(table)
+            jax.block_until_ready(out2)
+            ms2 = (time.perf_counter() - t0) / 5 * 1e3 - ms
+            print(f"      inverse-only ~{ms2:.1f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"      INV FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
