@@ -42,20 +42,33 @@ def main():
         payload = rng.uniform(size=(rows - 1, Ruse)).astype(np.float32)
         table = jnp.asarray(np.concatenate([keys[None], payload]))
 
-        fwd = jax.jit(lambda t: radix_partition(
-            t, num_buckets, B=B, E=E, CPB=CPB)[0])
+        REP = 4
+
+        def chain_fwd(t):
+            # defeat the axon relay dedup AND DCE the profile11 way: each
+            # rep consumes the previous rep's output (keys re-derived from
+            # a payload row), and the TIMING LOOP feeds each call's output
+            # table back as the next call's input
+            for _ in range(REP):
+                out = radix_partition(t, num_buckets, B=B, E=E, CPB=CPB)[0]
+                nk = jnp.floor(out[1, :t.shape[1]] * num_buckets)
+                nk = jnp.clip(nk, 0, num_buckets - 1)
+                t = out[:, :t.shape[1]].at[0].set(nk)
+            return t
+
+        fwd = jax.jit(chain_fwd)
         try:
-            out = fwd(table)
-            jax.block_until_ready(out)
+            tbl = fwd(table)
+            jax.block_until_ready(tbl)
         except Exception as e:  # noqa: BLE001
             print(f"B={B} E={E} nb={num_buckets}: FWD FAILED "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             continue
         t0 = time.perf_counter()
-        for _ in range(5):
-            out = fwd(table)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / 5 * 1e3
+        for i in range(3):
+            tbl = fwd(tbl)
+        jax.block_until_ready(tbl)
+        ms = (time.perf_counter() - t0) / 3 / REP * 1e3
         import math
         L = max(1, math.ceil(math.log(num_buckets, B)))
         print(f"nb={num_buckets} B={B} E={E} CPB={CPB}: fwd {ms:.1f} ms "
@@ -64,18 +77,23 @@ def main():
 
         # inverse at the same config
         def run_inv(t):
-            part, meta = radix_partition(t, num_buckets, B=B, E=E, CPB=CPB)
-            g = part  # same widths; inverse ignores key semantics
-            return radix_unpartition(g, meta, CPB=CPB)
+            for _ in range(REP):
+                part, meta = radix_partition(t, num_buckets, B=B, E=E,
+                                             CPB=CPB)
+                g = radix_unpartition(part, meta, CPB=CPB)
+                nk = jnp.clip(jnp.floor(g[1, :t.shape[1]] * num_buckets),
+                              0, num_buckets - 1)
+                t = g[:, :t.shape[1]].at[0].set(nk)
+            return t
         inv = jax.jit(run_inv)
         try:
-            out2 = inv(table)
-            jax.block_until_ready(out2)
+            tbl2 = inv(table)
+            jax.block_until_ready(tbl2)
             t0 = time.perf_counter()
-            for _ in range(5):
-                out2 = inv(table)
-            jax.block_until_ready(out2)
-            ms2 = (time.perf_counter() - t0) / 5 * 1e3 - ms
+            for i in range(3):
+                tbl2 = inv(tbl2)
+            jax.block_until_ready(tbl2)
+            ms2 = (time.perf_counter() - t0) / 3 / REP * 1e3 - ms
             print(f"      inverse-only ~{ms2:.1f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"      INV FAILED {type(e).__name__}: {str(e)[:200]}",

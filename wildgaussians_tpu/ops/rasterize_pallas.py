@@ -66,6 +66,13 @@ _HIGH = jax.lax.Precision.HIGHEST
 # prefixes cost ~0.4% relative error on transmittance.
 import os as _os
 _TRIU_BF16 = _os.environ.get("WG_TRIU_BF16", "0") == "1"
+# Experiment knob (WG_MXU_POWER=1): evaluate the forward quadratic as a
+# [P,6]x[6,K] pixel-basis power matmul instead of the elementwise VPU
+# dx/dy chain. MEASURED WORSE on v5e (198.6 vs 182.8 ms/step at bench
+# scale): the per-chunk [6,K] coefficient concat + 6-pass HIGHEST matmul
+# costs more than the ~10 fused VPU ops it removes. Kept off as a recorded
+# negative result (round 3).
+_MXU_POWER = _os.environ.get("WG_MXU_POWER", "0") == "1"
 
 
 def _prefix_dot(l, triu):
@@ -184,14 +191,26 @@ def _pixel_coords(grid: TileGrid, t, *, local=False):
 
 
 def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
-                    packed=False):
+                    packed=False, pix_basis=None, need_dxdy=True):
     """Forward recurrence for one chunk. entries [ATTR_W, K]; returns [P,K]
     tensors + per-pixel [P,1] carries. `stopped_f` is a 0/1 float mask
     (Mosaic cannot carry i1 vectors through scf.while). `a0` is the row of
     the first geometry attribute (1 for partition-built tables whose row 0
     is the sort key). With `packed`, the table is the f16-pair layout (see
     _sort_entries): row 0 = (x_rel, y_rel) wrt the tile origin (px/py must
-    then be tile-local), rows 1-3 conic f32, row 5 lo half = opacity."""
+    then be tile-local), rows 1-3 conic f32, row 5 lo half = opacity.
+
+    With `pix_basis` ([P,6] = [1,px,py,px^2,px*py,py^2]) the quadratic
+    power(p,k) = -0.5*ca*dx^2 - cb*dx*dy - 0.5*cc*dy^2 is evaluated as ONE
+    [P,6]x[6,K] MXU matmul of per-entry polynomial coefficients against the
+    shared pixel basis, replacing the ~10 [P,K] VPU ops of the dx/dy chain
+    (the kernels are VPU-bound; transcendentals + this chain dominate).
+    Tile-LOCAL coords keep every expansion term < ~2.5e3 so the f32
+    residual at power ~ 0 is < ~1e-4; `use` therefore accepts
+    power <= POWER_EPS and exp() clamps to 0 — the same measure-zero
+    boundary forward.cu:356's `power > 0 -> skip` rides. `need_dxdy=False`
+    skips materializing dx/dy (forward kernel; the backward needs them for
+    the per-pixel |grad| channels)."""
     if packed:
         # row 0: (x_rel, y_rel); row 1: (ca, cc) — the diagonal conic terms
         # are positive with f16-friendly range (1e-4..11 = 1/sigma^2 over
@@ -208,12 +227,29 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
         cb = entries[a0 + 3:a0 + 4, :]
         cc = entries[a0 + 4:a0 + 5, :]
         op = entries[a0 + 5:a0 + 6, :]
-    dx = x - px                     # [P,K]
-    dy = y - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    e = jnp.exp(power)
+    if pix_basis is not None:
+        # coefficients of power as a polynomial in (px, py), [6,K]
+        coef = jnp.concatenate(
+            [-0.5 * ca * x * x - cb * x * y - 0.5 * cc * y * y,
+             ca * x + cb * y,
+             cb * x + cc * y,
+             -0.5 * ca,
+             -cb,
+             -0.5 * cc], axis=0)
+        power = jax.lax.dot_general(pix_basis, coef, (((1,), (0,)), ((), ())),
+                                    precision=_HIGH,
+                                    preferred_element_type=jnp.float32)
+        e = jnp.exp(jnp.minimum(power, 0.0))
+        dx = x - px if need_dxdy else None
+        dy = y - py if need_dxdy else None
+    else:
+        dx = x - px                     # [P,K]
+        dy = y - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        e = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, op * e)
-    use = em & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    power_eps = 1e-4 if pix_basis is not None else 0.0
+    use = em & (power <= power_eps) & (alpha >= ALPHA_MIN)
     l = jnp.where(use, jnp.log1p(-jnp.where(use, alpha, 0.0)), 0.0)
     S = _prefix_dot(l, triu)   # inclusive
     # exclusive transmittance via exp(S)/(1-alpha): one [P,K] exp + a divide
@@ -286,6 +322,10 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
+    # pixel basis for the MXU power matmul (packed tables: tile-local coords)
+    pix_basis = jnp.concatenate(
+        [jnp.ones_like(px), px, py, px * px, px * py, py * py],
+        axis=1) if (packed and _MXU_POWER) else None
 
     @pl.when(n_chunks > 0)
     def _():
@@ -308,7 +348,7 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0,
-                             packed)
+                             packed, pix_basis, need_dxdy=False)
         color = color + jnp.concatenate(
             [jax.lax.dot_general(
                 st["w"], _read_colors(entries, c0, packed),
@@ -399,7 +439,8 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
         pos = c * K + kidx - shift
         em = (pos >= 0) & (pos < count)
         st = _chunk_fwd_math(entries, px, py, em, t_carry, stopped, triu, a0,
-                             packed)
+                             packed,
+                             pix_basis if (packed and _MXU_POWER) else None)
         dx, dy, alpha, use, w = st["dx"], st["dy"], st["alpha"], st["use"], st["w"]
 
         # per-pass color contractions; their dalpha contributions are
@@ -436,13 +477,14 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             ca = entries[a0 + 2:a0 + 3, :]
             cb = entries[a0 + 3:a0 + 4, :]
             cc = entries[a0 + 4:a0 + 5, :]
-        # dL/dop: alpha = min(cap, op*e) so d(alpha)/d(op) = e; dalpha_eff is
-        # already zero outside `contrib` and where the cap binds, and real
-        # conics are PSD so e = exp(power) <= 1 on every lane
-        dop = jnp.sum(dalpha_eff * st["e"], axis=0, keepdims=True)   # [1,K]
         dpower = dalpha_eff * alpha
         dmx_pix = dpower * (-(ca * dx + cb * dy))
         dmy_pix = dpower * (-(cc * dy + cb * dx))
+        if not packed:
+            # dL/dop: alpha = min(cap, op*e) so d(alpha)/d(op) = e;
+            # dalpha_eff is already zero outside `contrib` and where the cap
+            # binds, and real conics are PSD so e = exp(power) <= 1
+            dop = jnp.sum(dalpha_eff * st["e"], axis=0, keepdims=True)
 
         if packed:
             # mean/conic grads via PIXEL-BASIS MOMENTS on the MXU: with
@@ -457,6 +499,11 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                                     preferred_element_type=jnp.float32)
             m1, mx, my = M[0:1, :], M[1:2, :], M[2:3, :]
             mxx, mxy, myy = M[3:4, :], M[4:5, :], M[5:6, :]
+            # dop from the zeroth moment: dpower = dalpha_eff*alpha and on
+            # every lane where dalpha_eff != 0 the cap doesn't bind, so
+            # alpha = op*e there and sum_p dalpha_eff*e = m1/op exactly
+            # (op is per-entry, constant over p; op=0 lanes carry no grad)
+            dop = jnp.where(op > 0.0, m1 / jnp.where(op > 0.0, op, 1.0), 0.0)
             x, y = st["x"], st["y"]
             sx = x * m1 - mx                          # sum dpower*dx
             sy = y * m1 - my
@@ -1084,7 +1131,8 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
              + final_t[..., None] * bg[None, None, :]
              for i in range(n_passes)])
         T = jnp.broadcast_to(final_t[None], (n_passes,) + final_t.shape)
-        return C, T, table, sorted_flat, tile_starts, tile_counts, big_list
+        return C, T, pack, table, sorted_flat, tile_starts, tile_counts, \
+            big_list
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
@@ -1097,20 +1145,24 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
             depth, rect_min, rect_max, tiles_touched, valid):
         del absgrad_hook
-        C, T, table, sorted_flat, tile_starts, tile_counts, big_list = forward(
+        (C, T, pack, table, sorted_flat, tile_starts, tile_counts,
+         big_list) = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid, bg)
         return (C, T), (table, sorted_flat, tile_starts, tile_counts,
-                        big_list, bg, C, T)
+                        big_list, bg, pack)
 
     def bwd(res, cot):
-        (table, sorted_flat, tile_starts, tile_counts, big_list, bg, C_out,
-         final_t) = res
+        (table, sorted_flat, tile_starts, tile_counts, big_list, bg,
+         fwd_pack) = res
         gC, gT = cot   # [np,T,P,3], [np,T,P]
 
-        ft = final_t[0]                         # shared across passes
-        # fused cot/fwd packs: pass-i colors at [3i:3i+3], per-pass gt_eff
-        # at [3np+i] (cot) / shared final_T at [3np] (fwd)
+        # the forward kernel's raw pack IS the bwd kernel's fwd_pack layout
+        # (pass-i colors at [3i:3i+3], shared final_T at [3np], zero tail) —
+        # saved in residuals verbatim, nothing to rebuild here
+        ft = fwd_pack[:, :, 3 * n_passes]
+        # cot pack: pass-i cotangent colors at [3i:3i+3], per-pass gt_eff
+        # at [3np+i]
         gt_effs = [gT[i] + jnp.einsum("tpc,c->tp", gC[i], bg,
                                       precision=_HIGH)
                    for i in range(n_passes)]
@@ -1120,12 +1172,6 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             + [ge[..., None] for ge in gt_effs]
             + [jnp.zeros((T_tiles, P_PIX, ow - 4 * n_passes), jnp.float32)],
             axis=-1)
-        fwd_pack = jnp.concatenate(
-            [C_out[i] - ft[..., None] * bg[None, None, :]
-             for i in range(n_passes)]
-            + [ft[..., None],
-               jnp.zeros((T_tiles, P_PIX, ow - 3 * n_passes - 1),
-                         jnp.float32)], axis=-1)
         (eg,) = calls[1](jnp.zeros((1,), jnp.int32), tile_starts,
                          tile_counts, table, cot_pack, fwd_pack)
         dbg = jnp.einsum("itpc,tp->c", gC, ft, precision=_HIGH)
