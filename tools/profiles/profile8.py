@@ -42,7 +42,7 @@ def main():
     def loss_fn(xyz, scales, rots, opac, colors):
         out = rasterize_gaussians(xyz, scales, rots, opac, colors, params, w, h,
                                   kernel_size=0.1, backend="pallas", chunk=int(os.environ.get("BENCH_CHUNK", 256)),
-                                  max_tiles_per_gaussian=int(os.environ.get("BENCH_DMAX", 10)), d_small=int(os.environ.get("BENCH_DSMALL", 6)),
+                                  max_tiles_per_gaussian=int(os.environ.get("BENCH_DMAX", 10)), d_small=int(os.environ.get("BENCH_DSMALL", 4)),
                                   binning=os.environ.get("BENCH_BINNING", "sort"))
         return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered, out.overflow)
 

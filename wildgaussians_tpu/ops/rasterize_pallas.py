@@ -252,10 +252,13 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
     use = em & (power <= power_eps) & (alpha >= ALPHA_MIN)
     l = jnp.where(use, jnp.log1p(-jnp.where(use, alpha, 0.0)), 0.0)
     S = _prefix_dot(l, triu)   # inclusive
-    # exclusive transmittance via exp(S)/(1-alpha): one [P,K] exp + a divide
-    # instead of two exps (transcendentals dominate the VPU cost here)
+    # exclusive transmittance via exp(S)/(1-alpha): one [P,K] exp + a
+    # reciprocal instead of two exps (transcendentals dominate the VPU cost
+    # here); rinv is reused by the backward's dalpha chain, saving its
+    # divide
     t_inc = t_carry * jnp.exp(S)
-    t_at = t_inc / jnp.where(use, 1.0 - alpha, 1.0)
+    rinv = 1.0 / jnp.where(use, 1.0 - alpha, 1.0)
+    t_at = t_inc * rinv
     alive = t_inc >= T_EPS
     contrib = use & alive & (stopped_f < 0.5)
     w = jnp.where(contrib, alpha * t_at, 0.0)
@@ -266,7 +269,7 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
         jnp.max(jnp.where(use & jnp.logical_not(alive), 1.0, 0.0),
                 axis=1, keepdims=True))
     return dict(dx=dx, dy=dy, x=x, y=y, alpha=alpha, e=e, use=use, l=l,
-                t_at=t_at, contrib=contrib, w=w, new_t=new_t,
+                t_at=t_at, rinv=rinv, contrib=contrib, w=w, new_t=new_t,
                 new_stopped=new_stopped)
 
 
@@ -462,10 +465,10 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 preferred_element_type=jnp.float32))
             acc_new.append(acc_dot[:, i:i + 1]
                            + jnp.sum(wcg, axis=1, keepdims=True))
-        one_m_a = jnp.where(use, 1.0 - alpha, 1.0)
         dalpha = jnp.where(
             st["contrib"],
-            st["t_at"] * cg_sum - (sfx_sum + gte_sum * final_t) / one_m_a,
+            st["t_at"] * cg_sum
+            - (sfx_sum + gte_sum * final_t) * st["rinv"],
             0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
         if packed:
