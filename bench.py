@@ -105,12 +105,144 @@ def quality_main():
           f"({dt / steps * 1e3:.0f} ms/step)", file=sys.stderr)
 
 
+def make_random_scene(rng, n_gaussians, width, height, f):
+    """Round 1-3 bench scene: uniform random colors/opacities/depths.
+
+    Worst-case for early termination: opacities 0.4-0.99 at random depths
+    never saturate transmittance, so every tile walks its full entry list
+    (probe_cfin r3: f=1.0). Kept as the headline scene for cross-round
+    comparability; the surfel scene below measures the converged regime."""
+    z = rng.uniform(3.0, 30.0, n_gaussians).astype(np.float32)
+    xy_extent = z[:, None] * np.array([width / (2 * f), height / (2 * f)], np.float32)
+    xyz = np.concatenate([
+        rng.uniform(-1, 1, (n_gaussians, 2)).astype(np.float32) * xy_extent,
+        z[:, None]], -1)
+    px_size = z / f  # world size of one pixel at that depth
+    # footprint ~1-4 px sigma: matches converged 3DGS scenes (~3-4 duplicated
+    # tile entries per gaussian on average)
+    scales = (px_size[:, None] * rng.uniform(0.8, 4.0, (n_gaussians, 3))).astype(np.float32)
+    q = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.4, 0.99, n_gaussians).astype(np.float32)
+    colors = rng.uniform(0, 1, (n_gaussians, 3)).astype(np.float32)
+    return xyz, scales, q, opac, colors
+
+
+def _quat_from_normal(rng, normal):
+    """Quaternions rotating +z to each row of `normal` [n,3] (plus a random
+    in-plane spin so the tangent axes aren't globally aligned)."""
+    n = normal.shape[0]
+    z = np.array([0.0, 0.0, 1.0], np.float32)
+    v = np.cross(np.broadcast_to(z, normal.shape), normal)
+    c = normal @ z
+    w = 1.0 + c
+    q = np.concatenate([w[:, None], v], axis=1).astype(np.float32)
+    # antiparallel rows (w ~ 0): any 180-degree axis works
+    bad = w < 1e-6
+    q[bad] = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # compose with a random rotation about the local z (normal) axis
+    ang = rng.uniform(0, np.pi, n).astype(np.float32)
+    spin = np.stack([np.cos(ang), np.zeros(n, np.float32),
+                     np.zeros(n, np.float32), np.sin(ang)], axis=1)
+    a, b = q, spin
+    return np.stack([
+        a[:, 0] * b[:, 0] - a[:, 1] * b[:, 1] - a[:, 2] * b[:, 2] - a[:, 3] * b[:, 3],
+        a[:, 0] * b[:, 1] + a[:, 1] * b[:, 0] + a[:, 2] * b[:, 3] - a[:, 3] * b[:, 2],
+        a[:, 0] * b[:, 2] - a[:, 1] * b[:, 3] + a[:, 2] * b[:, 0] + a[:, 3] * b[:, 1],
+        a[:, 0] * b[:, 3] + a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1] + a[:, 3] * b[:, 0],
+    ], axis=1).astype(np.float32)
+
+
+def make_surfel_scene(rng, n_gaussians, width, height, f):
+    """Converged-scene stand-in (VERDICT r3 #3): surface-attached gaussians.
+
+    A trained 3DGS scene is NOT uniform noise: gaussians sit ON surfaces,
+    opacities are bimodal with most mass near 1 (densify/prune + opacity
+    reset drive them there; prune drops <0.005, reference method.py
+    densify_and_prune), footprints are flat disks (small scale along the
+    surface normal), and colors are spatially correlated. Front surfaces
+    then SATURATE transmittance, so per-tile walks terminate early
+    (reference forward.cu:367-372's early exit) — the regime the random
+    scene cannot reach. Geometry: a ground plane, a back wall, and a field
+    of spheres, all frustum-filling.
+    """
+    def in_frustum_xy(z, margin=1.0):
+        return z * np.array([width / (2 * f), height / (2 * f)],
+                            np.float32) * margin
+
+    parts = []  # (xyz, normal)
+    n_ground = int(n_gaussians * 0.35)
+    n_wall = int(n_gaussians * 0.25)
+    n_sph = n_gaussians - n_ground - n_wall
+    # ground plane y = +1.0 (camera looks +z, y down is up here; any plane
+    # crossing the frustum works)
+    zg = rng.uniform(3.0, 28.0, n_ground).astype(np.float32) ** 1.0
+    xg = rng.uniform(-1, 1, n_ground).astype(np.float32) * in_frustum_xy(zg)[:, 0]
+    g_xyz = np.stack([xg, np.full(n_ground, 1.0, np.float32), zg], axis=1)
+    parts.append((g_xyz, np.tile(np.array([0, -1, 0], np.float32), (n_ground, 1))))
+    # back wall z = 28
+    ext = in_frustum_xy(np.float32(28.0))
+    w_xyz = np.stack([
+        rng.uniform(-ext[0], ext[0], n_wall).astype(np.float32),
+        rng.uniform(-ext[1], ext[1], n_wall).astype(np.float32),
+        np.full(n_wall, 28.0, np.float32)], axis=1)
+    parts.append((w_xyz, np.tile(np.array([0, 0, -1], np.float32), (n_wall, 1))))
+    # spheres scattered in the frustum
+    n_spheres = 80
+    sc_z = rng.uniform(4.0, 22.0, n_spheres).astype(np.float32)
+    sc_xy = rng.uniform(-0.8, 0.8, (n_spheres, 2)).astype(np.float32) * in_frustum_xy(sc_z)
+    centers = np.concatenate([sc_xy, sc_z[:, None]], axis=1)
+    radii = rng.uniform(0.3, 1.6, n_spheres).astype(np.float32)
+    # points per sphere proportional to projected solid angle ~ (r/z)^2
+    wgt = (radii / sc_z) ** 2
+    counts = np.maximum((wgt / wgt.sum() * n_sph).astype(np.int64), 1)
+    counts[-1] += n_sph - counts.sum()
+    sp_xyz, sp_nrm = [], []
+    for ci, (ctr, r, m) in enumerate(zip(centers, radii, counts)):
+        if m <= 0:
+            continue
+        d = rng.normal(size=(m, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sp_xyz.append(ctr[None] + r * d)
+        sp_nrm.append(d)
+    parts.append((np.concatenate(sp_xyz), np.concatenate(sp_nrm)))
+
+    xyz = np.concatenate([p[0] for p in parts])[:n_gaussians]
+    normal = np.concatenate([p[1] for p in parts])[:n_gaussians]
+    z = xyz[:, 2]
+    px_size = z / f
+    # flat surfels: tangent sigma ~1-3 px, normal sigma 0.15x tangent
+    tangent = (px_size * rng.uniform(1.0, 3.0, n_gaussians)).astype(np.float32)
+    scales = np.stack([tangent, tangent * rng.uniform(0.6, 1.0, n_gaussians).astype(np.float32),
+                       tangent * 0.15], axis=1)
+    q = _quat_from_normal(rng, normal)
+    # bimodal converged opacities: 70% near-opaque, 30% mid/floaters
+    hi = rng.uniform(0.85, 0.995, n_gaussians)
+    lo = rng.uniform(0.08, 0.85, n_gaussians)
+    opac = np.where(rng.uniform(size=n_gaussians) < 0.7, hi, lo).astype(np.float32)
+    # spatially-correlated "texture": low-frequency trig mix of position
+    ph = xyz @ rng.normal(0, 0.8, (3, 3)).astype(np.float32)
+    colors = (0.5 + 0.45 * np.sin(ph + rng.uniform(0, 6.28, 3).astype(np.float32))
+              ).astype(np.float32)
+    return xyz, scales, q, np.clip(opac, 0.0, 0.995), np.clip(colors, 0.0, 1.0)
+
+
+def load_trained_scene(path):
+    """Snapshot of an actually-trained store (tools/make_trained_scene.py):
+    activated xyz/scales/rotations/opacities/colors arrays."""
+    d = np.load(path)
+    return tuple(d[k] for k in ("xyz", "scales", "rotations", "opacities",
+                                "colors"))
+
+
 def main():
     n_gaussians = int(os.environ.get("BENCH_N_GAUSSIANS", 1_500_000))
     width = int(os.environ.get("BENCH_WIDTH", 1280))
     height = int(os.environ.get("BENCH_HEIGHT", 720))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     backend = os.environ.get("BENCH_BACKEND", "auto")
+    scene_kind = os.environ.get("BENCH_SCENE", "random")
 
     import jax
     import jax.numpy as jnp
@@ -136,23 +268,32 @@ def main():
         image_sizes=np.array([[width, height]], np.int32))
     params, w, h = make_camera_params(cam)
 
-    # depth-stratified points; scales sized for a ~1.5-tile average footprint
-    z = rng.uniform(3.0, 30.0, n_gaussians).astype(np.float32)
-    xy_extent = z[:, None] * np.array([width / (2 * f), height / (2 * f)], np.float32)
-    xyz = np.concatenate([
-        rng.uniform(-1, 1, (n_gaussians, 2)).astype(np.float32) * xy_extent,
-        z[:, None]], -1)
-    px_size = z / f  # world size of one pixel at that depth
-    # footprint ~1-4 px sigma: matches converged 3DGS scenes (~3-4 duplicated
-    # tile entries per gaussian on average)
-    scales = (px_size[:, None] * rng.uniform(0.8, 4.0, (n_gaussians, 3))).astype(np.float32)
-    q = rng.normal(size=(n_gaussians, 4)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    opac = rng.uniform(0.4, 0.99, n_gaussians).astype(np.float32)
-    colors = rng.uniform(0, 1, (n_gaussians, 3)).astype(np.float32)
-    target = jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+    def build_scene(kind):
+        if kind == "random":
+            sc = make_random_scene(rng, n_gaussians, width, height, f)
+        elif kind == "surfel":
+            sc = make_surfel_scene(rng, n_gaussians, width, height, f)
+        elif kind == "trained":
+            sc = load_trained_scene(os.environ.get(
+                "BENCH_TRAINED_PATH", "/tmp/wg_trained_scene.npz"))
+        else:
+            raise SystemExit(f"unknown BENCH_SCENE={kind}")
+        return tuple(map(jnp.asarray, sc))
 
-    args = tuple(map(jnp.asarray, (xyz, scales, q, opac, colors)))
+    args = build_scene(scene_kind)
+
+    def make_target(kind, sargs):
+        if kind == "random":
+            # noise target: large uncorrelated residuals everywhere
+            return jnp.asarray(rng.uniform(0, 1, (h, w, 3)).astype(np.float32))
+        # converged regime: the target is the scene's own render plus a
+        # small perturbation, so residuals (and gradients) are small and
+        # image-like, as at the end of training
+        out = jax.jit(lambda a: rasterize_gaussians(
+            *a, params, w, h, kernel_size=0.1,
+            backend=backend).color)(sargs)
+        noise = rng.normal(0, 0.02, (h, w, 3)).astype(np.float32)
+        return jnp.clip(out + noise, 0.0, 1.0)
 
     d_max = int(os.environ.get("BENCH_DMAX", 10))
     d_small = int(os.environ.get("BENCH_DSMALL", 4))
@@ -169,7 +310,7 @@ def main():
 
         grid = make_grid(w, h, 16)
 
-        def loss_fn(xyz, scales, rots, opac, colors):
+        def loss_fn(xyz, scales, rots, opac, colors, target):
             cov3d = compute_cov3d(scales, rots)
             pre = preprocess(xyz, cov3d, opac, params, w, h, 0.1,
                              tile_size=16)
@@ -187,7 +328,7 @@ def main():
             return loss, (jnp.sum(jnp.minimum(pre.tiles_touched, d_max)),
                           jnp.int32(0))
     else:
-        def loss_fn(xyz, scales, rots, opac, colors):
+        def loss_fn(xyz, scales, rots, opac, colors, target):
             out = rasterize_gaussians(xyz, scales, rots, opac, colors,
                                       params, w, h,
                                       kernel_size=0.1, backend=backend,
@@ -228,21 +369,25 @@ def main():
         _fwd = jax.jit(fwd)
 
         def step(*a):
-            color, aux = _fwd(*a)
+            color, aux = _fwd(*a[:-1])
             return (jnp.mean(color), aux), (color,)
     else:
         step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
                                           has_aux=True))
 
-    # warmup + compile
-    (loss, (num_rendered, overflow)), grads = step(*args)
-    jax.block_until_ready(grads)
+    def timed_run(sargs, target):
+        # warmup + compile (cached across scenes: same shapes)
+        (loss, (num_rendered, overflow)), grads = step(*sargs, target)
+        jax.block_until_ready(grads)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            (loss, (num_rendered, overflow)), grads = step(*sargs, target)
+        jax.block_until_ready(grads)
+        dt = (time.perf_counter() - t0) / iters
+        return dt, loss, num_rendered, overflow
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        (loss, (num_rendered, overflow)), grads = step(*args)
-    jax.block_until_ready(grads)
-    dt = (time.perf_counter() - t0) / iters
+    target = make_target(scene_kind, args)
+    dt, loss, num_rendered, overflow = timed_run(args, target)
 
     mpix_s = (w * h) / dt / 1e6
     kind = ("static blend-only" if static
@@ -255,6 +400,8 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_MPIX_S, 4),
     }
+    if scene_kind != "random":
+        result["metric"] += f" [{scene_kind} scene]"
     if fwd_only or static:
         result["fps"] = round(1.0 / dt, 2)
     # speed-of-light model for this design on one chip (see model_bound_ms)
@@ -264,6 +411,18 @@ def main():
                            bwd_rows=6, fwd_only=fwd_only or static)
     result["model_bound_ms"] = round(bound, 1)
     result["model_bound_fraction"] = round(bound / (dt * 1e3), 3)
+
+    # converged-regime companion number (VERDICT r3 #3): same compiled step
+    # on the surfel scene, where transmittance saturates and early exit can
+    # fire. Reported in the SAME json line so every round records both.
+    if scene_kind == "random" and not static \
+            and os.environ.get("BENCH_SKIP_SURFEL", "0") != "1":
+        sargs = build_scene("surfel")
+        starget = make_target("surfel", sargs)
+        sdt, sloss, snum, soverflow = timed_run(sargs, starget)
+        result["surfel_mpix_s"] = round((w * h) / sdt / 1e6, 3)
+        result["surfel_ms_per_step"] = round(sdt * 1e3, 1)
+        result["surfel_num_rendered"] = int(snum)
     print(json.dumps(result))
     print(f"# step={dt * 1e3:.1f}ms loss={float(loss):.4f} "
           f"num_rendered={int(num_rendered)} overflow={int(overflow)} "
