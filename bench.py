@@ -168,8 +168,9 @@ def make_surfel_scene(rng, n_gaussians, width, height, f):
     of spheres, all frustum-filling.
     """
     def in_frustum_xy(z, margin=1.0):
-        return z * np.array([width / (2 * f), height / (2 * f)],
-                            np.float32) * margin
+        return np.multiply.outer(
+            np.asarray(z, np.float32),
+            np.array([width / (2 * f), height / (2 * f)], np.float32)) * margin
 
     parts = []  # (xyz, normal)
     n_ground = int(n_gaussians * 0.35)

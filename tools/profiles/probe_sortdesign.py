@@ -124,6 +124,11 @@ def main():
     # src [W, C*K+K]; per (c, e) one strided DMA of [W, RUN] from a dynamic
     # in-chunk offset to dst[:, e, c*RUN:(c+1)*RUN]. Measures issue rate.
     # W=8: Mosaic requires dim-0 slices tiling-aligned (8 for i32).
+    # NOTE (finding): lane-dim HBM slice offsets must be 128-ALIGNED
+    # (Mosaic "tile index divisible by tiling (128)") — exact-offset run
+    # scatters are therefore impossible; runs quantize to 128 entries.
+    # This probe measures the ALIGNED-run issue rate (the design's best
+    # case); RUN must be a multiple of 128.
     W = 8
 
     def dma_probe(C, K, E, RUN):
@@ -136,10 +141,10 @@ def main():
             c = pl.program_id(0)
 
             def mkdma(e):
-                st = starts_ref[c * E + e]
+                st = pl.multiple_of(starts_ref[c * E + e], 128)
                 return pltpu.make_async_copy(
                     src_ref.at[:, pl.ds(st, RUN)],
-                    dst_ref.at[:, e, pl.ds(c * RUN, RUN)],
+                    dst_ref.at[:, e, pl.ds(pl.multiple_of(c * RUN, 128), RUN)],
                     sem.at[e])
             for e in range(E):
                 mkdma(e).start()

@@ -116,9 +116,24 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         colors_toned = jnp.maximum(
             eval_sh_switch(aux_active_sh, config.sh_degree, shs_t, dirs) + 0.5, 0.0)
         passes.append(("toned", colors_toned))
+    depth_norm = None
     if render_depth:
         dist = jnp.linalg.norm(means3d - camera.campos[None], axis=-1)
-        passes.append(("depth", jnp.tile(dist[:, None], (1, 3))))
+        # pack-v2 color rows quantize to [-0.5, 1.5): normalize the depth
+        # color set by its max (compositing is linear in color, so the
+        # scale commutes out and is re-applied to the blended image below)
+        depth_norm = jnp.max(jnp.where(pre.valid, dist, 0.0)) + 1e-6
+        passes.append(("depth", jnp.tile((dist / depth_norm)[:, None],
+                                         (1, 3))))
+
+    # NDC factors for the reference's abs-gradient densification channel
+    # (backward.cu:593-595): applied in-kernel by the pallas sort engine,
+    # as a hook pre-scale by the per-axis backends (see
+    # rasterize_pallas_multi docstring); trainers consume g_abs.sum(-1)
+    if actual_size is not None:
+        ndc = jnp.stack([0.5 * actual_size[0], 0.5 * actual_size[1]])
+    else:
+        ndc = jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
 
     raster_aux = {}
     if backend == "pallas":
@@ -136,7 +151,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             mesh=current_mesh(),
             grads_sharded=getattr(config, "shard_gaussian_store", False),
             send_beta=getattr(config, "pallas_send_beta", 2.0),
-            return_aux=True)
+            return_aux=True, ndc_scale=ndc)
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(
@@ -145,7 +160,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
 
         def blend(cols):
             return rasterize_tiled(pre.mean2d, pre.conic, pre.opacity, cols,
-                                   absgrad_hook, binning.sorted_gidx,
+                                   absgrad_hook * ndc[None, :],
+                                   binning.sorted_gidx,
                                    binning.tile_starts, binning.tile_counts,
                                    bg, grid=grid, chunk=chunk,
                                    batch_tiles=batch_tiles)
@@ -157,7 +173,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
     rendered = results["toned"][0] if "toned" in results else raw_img
     if raw_img is None:
         raw_img = rendered
-    depth = results["depth"][0][..., 0] if "depth" in results else None
+    depth = (results["depth"][0][..., 0] * depth_norm
+             if "depth" in results else None)
 
     from ..ops.rasterize import overflow_count
     num_rendered = jnp.sum(jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian))

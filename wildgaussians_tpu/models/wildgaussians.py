@@ -56,9 +56,15 @@ def _aot_under_mesh(fn):
     buffer-count mismatches during argument sharding). lower().compile() on
     first call and invoking the executable directly uses the plain
     shard_args path — the one the first two (working) calls take — forever.
-    Single-chip (no mesh) keeps the normal jit dispatch untouched."""
+    Single-chip (no mesh) keeps the normal jit dispatch untouched.
+
+    WG_NO_AOT=1 bypasses the workaround (plain jit dispatch) — paired
+    with tests/test_aot_canary.py: the reduced canary XPASSes on this
+    jax build, so the bypass lets CI and on-chip drives check whether
+    the FULL trainer programs also survive plain dispatch before the
+    workaround is retired."""
     from ..parallel.mesh import current_mesh
-    if current_mesh() is None:
+    if current_mesh() is None or os.environ.get("WG_NO_AOT", "0") == "1":
         return fn
 
     compiled = None
@@ -348,9 +354,13 @@ class WildGaussians:
             # accumulates NDC-scaled ones (pixel grad x 0.5*W / 0.5*H,
             # backward.cu:505,590-595) and densify_grad_threshold is
             # calibrated for those units — convert before accumulating.
+            # The ABS channel arrives NDC-scaled from the renderer (fused
+            # in-kernel by the pallas sort engine; hook pre-scale for the
+            # per-axis backends) — summing the channels covers both
+            # contracts (rasterize_pallas_multi docstring).
             ndc_fac = jnp.stack([0.5 * actual_size[0], 0.5 * actual_size[1]])
             g_m2d_ndc = g_m2d * ndc_fac[None, :]
-            g_abs_ndc = jnp.sum(g_abs * ndc_fac[None, :], axis=-1)
+            g_abs_ndc = jnp.sum(g_abs, axis=-1)
 
             def upd(aux):
                 return gs.update_densification_stats(aux, g_m2d_ndc, g_abs_ndc,

@@ -96,7 +96,8 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                         pack16: bool = True,
                         scale_modifier: float = 1.0,
                         cov3d: Optional[jnp.ndarray] = None,
-                        mean2d_hook: Optional[jnp.ndarray] = None) -> RasterizeResult:
+                        mean2d_hook: Optional[jnp.ndarray] = None,
+                        ndc_scale=None) -> RasterizeResult:
     """Render post-activation Gaussians (cf. GaussianRasterizer.forward,
     reference __init__.py:208-241 — always called with colors_precomp in the
     reference method, method.py:1574-1608).
@@ -132,10 +133,15 @@ def rasterize_gaussians(means3d: jnp.ndarray,
                               d_small=d_small, big_fraction=big_fraction,
                               binning=binning, grid=grid)
     if backend == "tiled":
+        hook = absgrad_hook
+        if ndc_scale is not None:
+            # per-axis backend: hook pre-scale applies the NDC abs-grad
+            # factors (see rasterize_pallas_multi docstring)
+            hook = hook * jnp.asarray(ndc_scale, jnp.float32)[None, :]
         binning = bin_gaussians(pre, grid.grid_x, grid.grid_y,
                                 max_tiles_per_gaussian, sort_mode=sort_mode)
         color, final_t = rasterize_tiled(
-            pre.mean2d, pre.conic, pre.opacity, colors, absgrad_hook,
+            pre.mean2d, pre.conic, pre.opacity, colors, hook,
             binning.sorted_gidx, binning.tile_starts, binning.tile_counts, bg,
             grid=grid, chunk=chunk, batch_tiles=batch_tiles)
     elif backend == "pallas":
@@ -146,7 +152,7 @@ def rasterize_gaussians(means3d: jnp.ndarray,
             pre.tiles_touched, pre.valid, bg, grid=grid, chunk=chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             d_small=d_small, big_fraction=big_fraction, binning=binning,
-            pack16=pack16)
+            pack16=pack16, ndc_scale=ndc_scale)
     else:
         raise ValueError(f"Unknown rasterizer backend: {backend}")
     return RasterizeResult(color, final_t, pre.radius, num_rendered, overflow)

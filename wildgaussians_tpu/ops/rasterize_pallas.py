@@ -169,6 +169,40 @@ def _unpack_row(entries, r):
     return _f16_bits_to_f32(w >> 16), _f16_bits_to_f32(w & jnp.uint32(0xFFFF))
 
 
+# rgb10 color packing (pack-v2 fwd layout, round 4): one u32 row carries a
+# whole RGB triple at 10-bit fixed point over [-0.5, 1.5) (step 1/512,
+# max rounding error ~1e-3 — the same order as the f16 color rows it
+# replaces at 1.0). Cuts the fwd sort payload from 2 rows/color-pass to 1:
+# the flat lax.sort's measured marginal is ~5.5 ms per consumed u32 row at
+# bench scale (tools/profiles/probe_sortdesign.py), the single biggest
+# per-row lever left after round 3. Callers must deliver colors in
+# [-0.5, 1.5) — raw/toned SH colors are clamped there by construction
+# (renderer caps features at 1.0); the depth pass normalizes by its max
+# (models/renderer.py) since compositing is linear in color.
+_RGB10_LO = -0.5
+_RGB10_SCALE = 512.0
+
+
+def _pack_rgb10(r, g, b):
+    """XLA-side [-0.5,1.5) -> u32 (r | g<<10 | b<<20), saturating."""
+    def enc(c):
+        q = jnp.clip(jax.lax.round((c - _RGB10_LO) * _RGB10_SCALE,
+                                   jax.lax.RoundingMethod.TO_NEAREST_EVEN),
+                     0.0, 1023.0)
+        return q.astype(jnp.int32).astype(jnp.uint32)
+    return enc(r) | (enc(g) << 10) | (enc(b) << 20)
+
+
+def _unpack_rgb10(entries, r):
+    """Kernel-side decode of an rgb10 row -> [3, K] f32 colors."""
+    w = jax.lax.bitcast_convert_type(entries[r:r + 1, :], jnp.uint32)
+
+    def dec(shift):
+        q = ((w >> shift) & jnp.uint32(1023)).astype(jnp.int32)
+        return q.astype(jnp.float32) * (1.0 / _RGB10_SCALE) + _RGB10_LO
+    return jnp.concatenate([dec(0), dec(10), dec(20)], axis=0)
+
+
 def _triu(K):
     """Upper-triangular ones [K,K]: l @ triu = inclusive prefix along lanes."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
@@ -212,14 +246,16 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
     skips materializing dx/dy (forward kernel; the backward needs them for
     the per-pixel |grad| channels)."""
     if packed:
-        # row 0: (x_rel, y_rel); row 1: (ca, cc) — the diagonal conic terms
-        # are positive with f16-friendly range (1e-4..11 = 1/sigma^2 over
-        # 0.3..100 px footprints; 5e-4 rel error ~ the xy f16 budget); row 2
-        # keeps the cancellation-sensitive cross term cb in f32
+        # pack-v2 rows: 0 = (x_rel, y_rel); 1 = (ca, cc) — the diagonal
+        # conic terms are positive with f16-friendly range (1e-4..11 =
+        # 1/sigma^2 over 0.3..100 px footprints; 5e-4 rel error ~ the xy
+        # f16 budget); 2 = (cb, op) — cb's f16 relative error enters power
+        # through the SAME |cb dx dy| term budget as ca/cc's (round-4
+        # parity drive: on-chip fwd max vs tiled unchanged at ~8e-3);
+        # 3+i = rgb10 per color pass
         x, y = _unpack_row(entries, 0)
         ca, cc = _unpack_row(entries, 1)
-        cb = entries[2:3, :]
-        _b0, op = _unpack_row(entries, 4)
+        cb, op = _unpack_row(entries, 2)
     else:
         x = entries[a0:a0 + 1, :]
         y = entries[a0 + 1:a0 + 2, :]
@@ -268,9 +304,14 @@ def _chunk_fwd_math(entries, px, py, em, t_carry, stopped_f, triu, a0=0,
         stopped_f,
         jnp.max(jnp.where(use & jnp.logical_not(alive), 1.0, 0.0),
                 axis=1, keepdims=True))
+    # pix_basis boundary band (ADVICE r3): `use` accepts power <= 1e-4 but
+    # e clamps the exp at power = 0, so lanes in (0, 1e-4] have ZERO local
+    # d(e)/d(power) — the backward must gate dpower there to match
+    dpower_gate = (jnp.where(power > 0.0, 0.0, 1.0)
+                   if pix_basis is not None else None)
     return dict(dx=dx, dy=dy, x=x, y=y, alpha=alpha, e=e, use=use, l=l,
                 t_at=t_at, rinv=rinv, contrib=contrib, w=w, new_t=new_t,
-                new_stopped=new_stopped)
+                new_stopped=new_stopped, dpower_gate=dpower_gate)
 
 
 def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
@@ -282,9 +323,7 @@ def _chunk_dma(entries_hbm, ebuf, sem, start, c, K, slot):
 def _read_colors(entries, col0, packed):
     if not packed:
         return entries[col0:col0 + 3, :]
-    r, g = _unpack_row(entries, col0)
-    b, _ = _unpack_row(entries, col0 + 1)
-    return jnp.concatenate([r, g, b], axis=0)                    # [3,K]
+    return _unpack_rgb10(entries, col0)                          # [3,K]
 
 
 def _out_width(n_passes: int) -> int:
@@ -294,15 +333,22 @@ def _out_width(n_passes: int) -> int:
     return max(((4 * n_passes + 7) // 8) * 8, 8)
 
 
+def _grad_rows(n_passes: int) -> int:
+    """Real packed-gradient values: 7 geo (dmx,dmy,dca,dcb,dcc,dop + ONE
+    fused NDC-abs channel — round 4 folded the reference's two |dx|/|dy|
+    axes into sx*|dx|+sy*|dy| in-kernel, backward.cu:593-595 semantics,
+    saving a u32 row of un-sort traffic) + 3 colors per pass."""
+    return 7 + 3 * n_passes
+
+
 def _grad_width(n_passes: int) -> int:
-    """Fused in-kernel-packed gradient rows: 8 geo + 3 colors per pass as
-    f16 pairs, 8-aligned (Mosaic sublane alignment for the DMA blocks).
-    n_passes=1 -> 8 (= GRAD_W, historical)."""
-    used = (8 + 3 * n_passes + 1) // 2
+    """Fused in-kernel-packed gradient rows as f16 pairs, 8-aligned
+    (Mosaic sublane alignment for the DMA blocks)."""
+    used = (_grad_rows(n_passes) + 1) // 2
     return max(((used + 7) // 8) * 8, 8)
 
 
-def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
+def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pack,
                 ebuf, sem,
                 *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
                 packed: bool = False):
@@ -378,7 +424,7 @@ def _fwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, out_pack,
          jnp.zeros((P_PIX, ow - 3 * np_ - 1), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
+def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
                 fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
                 *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
                 packed: bool = False, grad_packed: bool = False):
@@ -472,15 +518,16 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             0.0)
         dalpha_eff = jnp.where(alpha >= ALPHA_MAX, 0.0, dalpha)
         if packed:
-            _b0, op = _unpack_row(entries, 4)
             ca, cc = _unpack_row(entries, 1)
-            cb = entries[2:3, :]
+            cb, op = _unpack_row(entries, 2)
         else:
             op = entries[a0 + 5:a0 + 6, :]
             ca = entries[a0 + 2:a0 + 3, :]
             cb = entries[a0 + 3:a0 + 4, :]
             cc = entries[a0 + 4:a0 + 5, :]
         dpower = dalpha_eff * alpha
+        if st["dpower_gate"] is not None:
+            dpower = dpower * st["dpower_gate"]
         dmx_pix = dpower * (-(ca * dx + cb * dy))
         dmy_pix = dpower * (-(cc * dy + cb * dx))
         if not packed:
@@ -525,8 +572,6 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
             dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
 
-        # separate |dx| / |dy| channels so the caller can apply the
-        # reference's NDC factors (0.5*W vs 0.5*H, backward.cu:593-595)
         dabsx = jnp.sum(jnp.abs(dmx_pix), axis=0, keepdims=True)
         dabsy = jnp.sum(jnp.abs(dmy_pix), axis=0, keepdims=True)
         if grad_packed:
@@ -535,10 +580,16 @@ def _bwd_kernel(tbase_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
             # payload rows ready-made. The downstream precision is
             # identical — the un-sort f16-packed these at the XLA level
             # historically. SEQUENTIAL pair layout over the value list
-            # [dmx,dmy,dca,dcb,dcc,dop,absx,absy, r_0,g_0,b_0, r_1,...]
-            # (n_passes=1 reproduces the historical
-            # (dmx,dmy)(dca,dcb)(dcc,dop)(absx,absy)(r,g)(b,0) rows).
-            vals = [dmx, dmy, dca, dcb, dcc, dop, dabsx, dabsy]
+            # [dmx,dmy,dca,dcb,dcc,dop,dabs, r_0,g_0,b_0, r_1,...].
+            # dabs fuses the reference's GOF abs-gradient channel
+            # (backward.cu:593-595) WITH its NDC factors (0.5*W, 0.5*H —
+            # traced scalars riding scalar-prefetch rows 1-2): one u32
+            # un-sort row instead of two per-axis ones (~5.5 ms/row at
+            # bench scale, probe_sortdesign).
+            sx_ndc = ndc_ref[0]
+            sy_ndc = ndc_ref[1]
+            dabs = sx_ndc * dabsx + sy_ndc * dabsy
+            vals = [dmx, dmy, dca, dcb, dcc, dop, dabs]
             for dc in dcols:
                 vals += [dc[0:1], dc[1:2], dc[2:3]]
             if len(vals) % 2:
@@ -677,7 +728,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
         functools.partial(_fwd_kernel, grid=grid, K=K, col0s=col0s, a0=a0,
                           packed=packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(T_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=[pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0))],
@@ -696,7 +747,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
         functools.partial(_bwd_kernel, grid=grid, K=K, col0s=col0s, a0=a0,
                           packed=packed, grad_packed=grad_packed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(T_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),                    # entries
@@ -805,8 +856,9 @@ def _cull_pack_entries(grid: TileGrid, d1: int, d_max: int, m_cap: int,
 
     Returns (key_all, payload_rows, big_list) in SLOT order (cell-major:
     slot (j, g) = j*n + g); the caller appends the flat-iota row and runs the
-    wide lax.sort. payload_rows[0] is the packed (x_rel, y_rel) row when
-    pack16, else rows are plain f32 attributes (exact-parity mode).
+    wide lax.sort. pack16 rows (pack-v2): (x_rel, y_rel) | (ca, cc) |
+    (cb, op) | rgb10 per pass; else plain f32 attributes (exact-parity
+    mode).
 
     Every per-slot row is built as a CONCAT of per-cell 1-D [n] pieces —
     never as a [d, n] 2-D array: a [d, n] -> [d*n] reshape is a
@@ -866,20 +918,17 @@ def _cull_pack_entries(grid: TileGrid, d1: int, d_max: int, m_cap: int,
         return sel, prefix   # prefix = total visible-cell count
 
     # full-n payload attribute rows. Tier 1 repeats them d1 times directly;
-    # tier 2 reads them through the batched gather. pack16 rows (f16-pair
-    # u32 except cb, the cancellation-sensitive conic cross term):
-    # (ca,cc) | cb | (r,g) | (b,op), then (r,g),(b,-) per extra color pass.
+    # tier 2 reads them through the batched gather. pack16 rows (pack-v2):
+    # (ca,cc) | (cb,op) | rgb10 per color pass — every flat-sort payload
+    # row costs ~5.5 ms at bench scale (probe_sortdesign), so the fwd
+    # table is 3 rows + 1/pass instead of round-3's 4 + 2/pass.
     if pack16:
         attr_rows = [_pack2_f16(conic[:, 0], conic[:, 2]),
-                     conic[:, 1],
-                     _pack2_f16(colors_stack[0, :, 0],
-                                colors_stack[0, :, 1]),
-                     _pack2_f16(colors_stack[0, :, 2], opacity)]
-        for i in range(1, n_passes):
-            attr_rows += [_pack2_f16(colors_stack[i, :, 0],
-                                     colors_stack[i, :, 1]),
-                          _pack2_f16(colors_stack[i, :, 2],
-                                     jnp.zeros_like(opacity))]
+                     _pack2_f16(conic[:, 1], opacity)]
+        for i in range(n_passes):
+            attr_rows.append(_pack_rgb10(colors_stack[i, :, 0],
+                                         colors_stack[i, :, 1],
+                                         colors_stack[i, :, 2]))
     else:
         attr_rows = [mean2d[:, 0], mean2d[:, 1], conic[:, 0],
                      conic[:, 1], conic[:, 2], opacity]
@@ -971,8 +1020,9 @@ def _sort_engine_sizes(grid: TileGrid, K: int, n: int, d_max: int,
     R = n * d1 + m_cap * d2_extra
     R_pad = ((R + K - 1) // K) * K + 2 * K
     if pack16:
-        table_w = ((3 + 2 * n_passes + 7) // 8) * 8
-        col0s = [3 + 2 * i for i in range(n_passes)]
+        # pack-v2: xy | (ca,cc) | (cb,op) | rgb10 per pass
+        table_w = ((3 + n_passes + 7) // 8) * 8
+        col0s = [3 + i for i in range(n_passes)]
     else:
         table_w = ((6 + 3 * n_passes + 7) // 8) * 8
         col0s = [6 + 3 * i for i in range(n_passes)]
@@ -1057,7 +1107,8 @@ def _make_static_renderer(grid: TileGrid, K: int, n: int, d_max: int,
 
     def blend_fn(table, starts, counts, bg):
         zb = jnp.zeros((1,), jnp.int32)
-        (pack,) = calls[0](zb, starts, counts, table)
+        (pack,) = calls[0](zb, jnp.ones((2,), jnp.float32), starts, counts,
+                           table)
         final_t = pack[:, :, 3 * n_passes]
         return jnp.stack(
             [jnp.concatenate(
@@ -1120,14 +1171,16 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             rect_max, tiles_touched, valid)
 
     def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
-                rect_max, tiles_touched, valid, bg):
+                rect_max, tiles_touched, valid, bg, ndc_scale):
         table, sorted_flat, tile_starts, tile_counts, big_list = _sort_entries(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
         zb = jnp.zeros((1,), jnp.int32)
         # ONE fused kernel run blends every pass (final_T is shared — the
-        # passes have identical geometry)
-        (pack,) = calls[0](zb, tile_starts, tile_counts, table)
+        # passes have identical geometry); ndc_scale rides the f32
+        # scalar-prefetch row (the bwd kernel's fused dabs factors)
+        (pack,) = calls[0](zb, jnp.asarray(ndc_scale, jnp.float32),
+                           tile_starts, tile_counts, table)
         final_t = pack[:, :, 3 * n_passes]
         C = jnp.stack(
             [pack[:, :, 3 * i:3 * i + 3]
@@ -1139,25 +1192,25 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
-              depth, rect_min, rect_max, tiles_touched, valid):
+              depth, rect_min, rect_max, tiles_touched, valid, ndc_scale):
         del absgrad_hook
         out = forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
-                      rect_max, tiles_touched, valid, bg)
+                      rect_max, tiles_touched, valid, bg, ndc_scale)
         return out[0], out[1]
 
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
-            depth, rect_min, rect_max, tiles_touched, valid):
+            depth, rect_min, rect_max, tiles_touched, valid, ndc_scale):
         del absgrad_hook
         (C, T, pack, table, sorted_flat, tile_starts, tile_counts,
          big_list) = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
-            tiles_touched, valid, bg)
+            tiles_touched, valid, bg, ndc_scale)
         return (C, T), (table, sorted_flat, tile_starts, tile_counts,
-                        big_list, bg, pack)
+                        big_list, bg, pack, ndc_scale)
 
     def bwd(res, cot):
         (table, sorted_flat, tile_starts, tile_counts, big_list, bg,
-         fwd_pack) = res
+         fwd_pack, ndc_scale) = res
         gC, gT = cot   # [np,T,P,3], [np,T,P]
 
         # the forward kernel's raw pack IS the bwd kernel's fwd_pack layout
@@ -1175,13 +1228,14 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             + [ge[..., None] for ge in gt_effs]
             + [jnp.zeros((T_tiles, P_PIX, ow - 4 * n_passes), jnp.float32)],
             axis=-1)
-        (eg,) = calls[1](jnp.zeros((1,), jnp.int32), tile_starts,
+        (eg,) = calls[1](jnp.zeros((1,), jnp.int32),
+                         jnp.asarray(ndc_scale, jnp.float32), tile_starts,
                          tile_counts, table, cot_pack, fwd_pack)
         dbg = jnp.einsum("itpc,tp->c", gC, ft, precision=_HIGH)
 
         # eg rows arrive f16-PAIR-packed from the fused kernel: sequential
-        # pairs over [dmx,dmy,dca,dcb,dcc,dop,absx,absy, r_i,g_i,b_i ...]
-        n_rows = 8 + 3 * n_passes   # real grad values
+        # pairs over [dmx,dmy,dca,dcb,dcc,dop,dabs, r_i,g_i,b_i ...]
+        n_rows = _grad_rows(n_passes)   # real grad values
         n_packed = (n_rows + 1) // 2
         # rows beyond the covered region were never written by the kernels
         covered = jnp.arange(R, dtype=jnp.int32) < tile_starts[T_tiles]
@@ -1231,15 +1285,18 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         dmean2d = sums[0:2].T
         dconic = sums[2:5].T
         dop = sums[5]
-        dabs = sums[6:8].T                                # [N,2] |dx|,|dy|
+        # ONE fused NDC-abs channel (channel 1 zero keeps the [N,2] hook
+        # contract; callers consume g_abs.sum(-1))
+        dabs = jnp.stack([sums[6], jnp.zeros_like(sums[6])], axis=-1)
         dcolors = jnp.stack(
-            [sums[8 + 3 * i:11 + 3 * i].T for i in range(n_passes)])
+            [sums[7 + 3 * i:10 + 3 * i].T for i in range(n_passes)])
         # non-differentiated geometry inputs: f32 depth gets a zero cotangent
         # (sort order is discrete), int/bool inputs get float0
         d_depth = jnp.zeros((n,), jnp.float32)
         zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
         return (dmean2d, dconic, dop, dcolors, dabs, dbg,
-                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)),
+                jnp.zeros((2,), jnp.float32))
 
     blend.defvjp(fwd, bwd)
     return blend
@@ -1318,8 +1375,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     ts = float(grid.tile_size)
 
     if pack16:
-        table_w = _round_up(3 + 2 * n_passes, 8)
-        col0s = [3 + 2 * i for i in range(n_passes)]
+        table_w = _round_up(3 + n_passes, 8)       # pack-v2 layout
+        col0s = [3 + i for i in range(n_passes)]
     else:
         table_w = _round_up(6 + 3 * n_passes, 8)
         col0s = [6 + 3 * i for i in range(n_passes)]
@@ -1372,7 +1429,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                                   concat_axis=1, tiled=True)
 
     def sfwd(mean2d, conic, opacity, colors_stack, depth, rect_min,
-             rect_max, tiles_touched, valid, bg):
+             rect_max, tiles_touched, valid, bg, ndc_scale):
         skey, sflat, payload, big_list = _local_entries(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
             tiles_touched, valid)
@@ -1404,7 +1461,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         tb = (my_t0.astype(jnp.int32))[None]
         # ONE fused kernel run blends every pass
-        (pack_stack,) = calls[0](tb, starts, counts, table)
+        (pack_stack,) = calls[0](tb, jnp.asarray(ndc_scale, jnp.float32),
+                                 starts, counts, table)
         # [T_band, P_PIX, OW]: pass-i colors at [3i:3i+3], T at [3*np]
         # send-cap accounting (NO silent caps): entries beyond C in any
         # (sender, band) segment were dropped from the exchange
@@ -1416,7 +1474,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         return (pack_stack, send_drops) + res
 
     def sbwd(table, ridx_sorted, seg, sflat, big_list, starts, pack_stack,
-             gC, gT, bg):
+             gC, gT, bg, ndc_scale):
         (table, ridx_sorted, seg, sflat, big_list, starts) = (
             table[0], ridx_sorted[0], seg[0], sflat[0], big_list[0],
             starts[0])
@@ -1436,11 +1494,12 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             axis=-1)
         # the fused fwd pack already holds background-free colors per pass
         # + shared T, exactly the layout the fused bwd kernel reads
-        (eg,) = calls[1](tb, starts, counts, table, cot_pack, pack_stack)
+        (eg,) = calls[1](tb, jnp.asarray(ndc_scale, jnp.float32),
+                         starts, counts, table, cot_pack, pack_stack)
         dbg = jnp.einsum("itpc,tp->c", gC, final_t, precision=_HIGH)
         dbg = jax.lax.psum(dbg, mesh_axis)
 
-        n_rows = 8 + 3 * n_passes
+        n_rows = _grad_rows(n_passes)
         n_packed = (n_rows + 1) // 2
         covered = jnp.arange(RB, dtype=jnp.int32) < starts[T_band]
         packed = [jnp.where(covered,
@@ -1492,7 +1551,7 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             half = (word >> 16) if i % 2 == 0 else (word & jnp.uint32(0xFFFF))
             return _f16_bits_to_f32(half)
 
-        n_rows = 8 + 3 * n_passes
+        n_rows = _grad_rows(n_passes)
 
         def slot_base(i):
             row = _unpack(i)
@@ -1517,9 +1576,9 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         dmean2d = sums[0:2].T
         dconic = sums[2:5].T
         dop = sums[5]
-        dabs = sums[6:8].T
+        dabs = jnp.stack([sums[6], jnp.zeros_like(sums[6])], axis=-1)
         dcolors = jnp.stack(
-            [sums[8 + 3 * i:11 + 3 * i].T for i in range(n_passes)])
+            [sums[7 + 3 * i:10 + 3 * i].T for i in range(n_passes)])
         return dmean2d, dconic, dop, dcolors, dabs, dbg
 
     gspec = SP(mesh_axis)                       # [n, ...] gaussian-sharded
@@ -1530,14 +1589,15 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     fwd_sharded = shard_map(
         sfwd, mesh=mesh,
         in_specs=(gspec2, gspec2, gspec, cspec, gspec, gspec2, gspec2,
-                  gspec, gspec, SP()),
+                  gspec, gspec, SP(), SP()),
         # fused pack: [T_shpad, P, OW] with tile bands on axis 0
         out_specs=(SP(mesh_axis), SP()) + res_spec, check_vma=False)
 
     bwd_sharded = shard_map(
         sbwd, mesh=mesh,
         in_specs=res_spec + (SP(mesh_axis),
-                             SP(None, mesh_axis), SP(None, mesh_axis), SP()),
+                             SP(None, mesh_axis), SP(None, mesh_axis), SP(),
+                             SP()),
         out_specs=(gspec2, gspec2, gspec, SP(None, mesh_axis, None),
                    gspec2, SP()), check_vma=False)
 
@@ -1550,9 +1610,10 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             axis=1)
 
     def forward(mean2d, conic, opacity, colors_stack, depth, rect_min,
-                rect_max, tiles_touched, valid, bg):
+                rect_max, tiles_touched, valid, bg, ndc_scale):
         outs = fwd_sharded(mean2d, conic, opacity, colors_stack, depth,
-                           rect_min, rect_max, tiles_touched, valid, bg)
+                           rect_min, rect_max, tiles_touched, valid, bg,
+                           ndc_scale)
         pack, send_drops, res = outs[0], outs[1], outs[2:]
         # fused pack [T_shpad, P, OW]: pass-i colors at [3i:3i+3], shared T
         ft = pack[:T_tiles, :, 3 * n_passes]
@@ -1565,26 +1626,26 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
     @jax.custom_vjp
     def blend(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
-              depth, rect_min, rect_max, tiles_touched, valid):
+              depth, rect_min, rect_max, tiles_touched, valid, ndc_scale):
         del absgrad_hook
         C_out, final_t, send_drops, _, _ = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
-            tiles_touched, valid, bg)
+            tiles_touched, valid, bg, ndc_scale)
         return C_out, final_t, send_drops
 
     def fwd(mean2d, conic, opacity, colors_stack, absgrad_hook, bg,
-            depth, rect_min, rect_max, tiles_touched, valid):
+            depth, rect_min, rect_max, tiles_touched, valid, ndc_scale):
         del absgrad_hook
         C_out, final_t, send_drops, pack_stack, res = forward(
             mean2d, conic, opacity, colors_stack, depth, rect_min, rect_max,
-            tiles_touched, valid, bg)
-        return (C_out, final_t, send_drops), (pack_stack, res, bg)
+            tiles_touched, valid, bg, ndc_scale)
+        return (C_out, final_t, send_drops), (pack_stack, res, bg, ndc_scale)
 
     def bwd(resids, cot):
-        pack_stack, res, bg = resids
+        pack_stack, res, bg, ndc_scale = resids
         gC, gT, _g_drops = cot             # [np,T,P,3], [np,T,P], []
         dmean2d, dconic, dop, dcolors, dabs, dbg = bwd_sharded(
-            *res, pack_stack, _pad_gT(gC), _pad_gT(gT), bg)
+            *res, pack_stack, _pad_gT(gC), _pad_gT(gT), bg, ndc_scale)
         if not grads_sharded:
             # hand back REPLICATED Gaussian grads (the partition engine's
             # psum contract): callers keeping a replicated store would
@@ -1601,7 +1662,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         d_depth = jnp.zeros((n,), jnp.float32)
         zi = lambda shape: np.zeros(shape, jax.dtypes.float0)  # noqa: E731
         return (dmean2d, dconic, dop, dcolors, dabs, dbg,
-                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)))
+                d_depth, zi((n, 2)), zi((n, 2)), zi((n,)), zi((n,)),
+                jnp.zeros((2,), jnp.float32))
 
     blend.defvjp(fwd, bwd)
     return blend
@@ -1838,7 +1900,7 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             tbase = jnp.arange(D, dtype=jnp.int32) * T_local
             for i in range(n_passes):
                 def sfwd(tb, st, ct, tab, i=i):
-                    (pack,) = calls[i][0](tb, st, ct, tab)
+                    (pack,) = calls[i][0](tb, jnp.ones((2,), jnp.float32), st, ct, tab)
                     return pack
                 pack = shard_map(
                     sfwd, mesh=mesh,
@@ -1853,7 +1915,7 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         else:
             zb = jnp.zeros((1,), jnp.int32)
             for i in range(n_passes):
-                (pack,) = calls[i][0](zb, starts, counts, tsorted)
+                (pack,) = calls[i][0](zb, jnp.ones((2,), jnp.float32), starts, counts, tsorted)
                 final_t = pack[:, :, 3]
                 Cs.append(pack[:, :, 0:3]
                           + final_t[..., None] * bg[None, None, :])
@@ -1956,7 +2018,7 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             def sbwd(tb, st, ct, tab, cp, fp, tmb, tmk, amb, amk, bl):
                 eg_list = []
                 for i in range(n_passes):
-                    (eg,) = calls[i][1](tb, st, ct, tab, cp[i], fp[i])
+                    (eg,) = calls[i][1](tb, jnp.ones((2,), jnp.float32), st, ct, tab, cp[i], fp[i])
                     eg_list.append(eg)
                 gtab = _build_gtab(eg_list)
                 # each shard keeps only its own tiles' entry gradients; the
@@ -1985,7 +2047,8 @@ def _make_partition_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             zb = jnp.zeros((1,), jnp.int32)
             eg_list = []
             for i in range(n_passes):
-                (eg,) = calls[i][1](zb, starts, counts, tsorted,
+                (eg,) = calls[i][1](zb, jnp.ones((2,), jnp.float32),
+                                    starts, counts, tsorted,
                                     cot_packs[i], fwd_packs[i])
                 eg_list.append(eg)
             gtab = _build_gtab(eg_list)
@@ -2121,7 +2184,7 @@ def _make_gather_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         zb = jnp.zeros((1,), jnp.int32)
         Cs, Ts = [], []
         for i in range(n_passes):
-            (pack,) = calls[i][0](zb, starts, counts, table)
+            (pack,) = calls[i][0](zb, jnp.ones((2,), jnp.float32), starts, counts, table)
             final_t = pack[:, :, 3]
             Cs.append(pack[:, :, 0:3] + final_t[..., None] * bg[None, None, :])
             Ts.append(final_t)
@@ -2160,7 +2223,8 @@ def _make_gather_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             fwd_pack = jnp.concatenate(
                 [out_nobg, final_t[i][..., None],
                  jnp.zeros((T_tiles, P_PIX, 4), jnp.float32)], axis=-1)
-            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32), starts, counts,
+            (eg,) = calls[i][1](jnp.zeros((1,), jnp.int32),
+                                jnp.ones((2,), jnp.float32), starts, counts,
                                 table, cot_pack, fwd_pack)
             g_geo = jnp.concatenate([eg[0:6, :R], eg[9:11, :R]], axis=0)
             geo_rows = g_geo if geo_rows is None else geo_rows + g_geo
@@ -2205,7 +2269,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            mesh_axis: str = "tiles", pack16: bool = True,
                            grads_sharded: bool = False,
                            return_aux: bool = False,
-                           send_beta: float = 2.0):
+                           send_beta: float = 2.0,
+                           ndc_scale=None):
     """Render several color sets over one shared sorted geometry.
 
     Returns list of (color [H,W,3], final_T [H,W]) per color set.
@@ -2215,8 +2280,24 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     (the CUDA-shaped pipeline, kept for A/B). Under a mesh the sort engine
     shards Gaussians across devices and exchanges binned entries with one
     all-to-all (_make_sharded_sort_blend_vjp).
+
+    pack16 color contract (pack-v2): color sets are quantized to 10-bit
+    fixed point over [-0.5, 1.5) in the entry table — raw/toned SH colors
+    live there by construction; wider-range sets (the depth pass) must be
+    normalized by the caller (compositing is linear in color, so scaling
+    commutes with the blend; see models/renderer.py).
+
+    ndc_scale: optional traced (sx, sy) = (0.5*W, 0.5*H) NDC factors for
+    the fused abs-gradient channel (reference backward.cu:593-595). The
+    absgrad_hook cotangent is [N,2] with channel 0 = sx*sum|dx| +
+    sy*sum|dy| and channel 1 = 0 for the sort engines; the
+    partition/gather engines return per-axis pixel-unit channels
+    pre-multiplied by ndc_scale. Either way callers consume
+    g_abs.sum(-1). Default (1, 1).
     """
     n = mean2d.shape[0]
+    ndc = (jnp.ones((2,), jnp.float32) if ndc_scale is None
+           else jnp.asarray(ndc_scale, jnp.float32).reshape(2))
     if mesh is not None and binning == "gather":
         binning = "sort"        # gather has no sharded path
     if mesh is not None and binning == "sort":
@@ -2247,10 +2328,19 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                                        len(colors_list), d_small,
                                        big_fraction, pack16)
     stack = jnp.stack(colors_list)
-    out = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
-                pre_depth, pre_rect_min, pre_rect_max,
-                jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
-                pre_valid)
+    if binning == "sort":
+        out = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
+                    pre_depth, pre_rect_min, pre_rect_max,
+                    jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
+                    pre_valid, ndc)
+    else:
+        # per-axis engines: pre-scaling the (zero) hook scales its
+        # cotangent by ndc (d/dh f(h*s) = s * f'(h*s); forward unchanged)
+        out = blend(mean2d, conic, opacity, stack,
+                    absgrad_hook * ndc[None, :], bg,
+                    pre_depth, pre_rect_min, pre_rect_max,
+                    jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
+                    pre_valid)
     # the sharded engine also reports its send-cap drop count (no silent
     # caps); single-chip engines never truncate the exchange
     C_t, T_t = out[0], out[1]
@@ -2267,12 +2357,13 @@ def rasterize_pallas(mean2d, conic, opacity, colors, absgrad_hook,
                      pre_valid, bg, *, grid: TileGrid, chunk: int = 256,
                      max_tiles_per_gaussian: int = 16,
                      d_small: int = 4, big_fraction: float = 0.16,
-                     binning: str = "sort", pack16: bool = True):
+                     binning: str = "sort", pack16: bool = True,
+                     ndc_scale=None):
     """Single-pass wrapper around rasterize_pallas_multi."""
     (out,) = rasterize_pallas_multi(
         mean2d, conic, opacity, [colors], absgrad_hook, pre_depth,
         pre_rect_min, pre_rect_max, pre_tiles_touched, pre_valid, bg,
         grid=grid, chunk=chunk, max_tiles_per_gaussian=max_tiles_per_gaussian,
         d_small=d_small, big_fraction=big_fraction, binning=binning,
-        pack16=pack16)
+        pack16=pack16, ndc_scale=ndc_scale)
     return out
