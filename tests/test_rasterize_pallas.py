@@ -236,3 +236,26 @@ def test_static_renderer_matches_forward(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(final_t), np.asarray(ref.final_T),
                                atol=1e-6)
+
+
+def test_tier2_dense_pallas_matches_scatter(rng):
+    """The round-4 one-hot-matmul tier-2 merge kernel == the XLA scatter
+    (interpret mode; on-chip it replaces the 12.5 ms batched scatter)."""
+    import jax.numpy as jnp
+    from wildgaussians_tpu.ops.rasterize_pallas import (
+        _tier2_dense_pallas)
+
+    n = 5000
+    m = 700
+    nr = 10
+    idx = np.sort(rng.choice(n, size=m, replace=False)).astype(np.int32)
+    # sentinel tail (dropped entries) exactly as big_list carries them
+    idx[-5:] = n
+    idx = np.sort(idx)
+    vals = rng.normal(size=(nr, m)).astype(np.float32)
+    dense = np.asarray(_tier2_dense_pallas(
+        jnp.asarray(idx), jnp.asarray(vals), n))
+    want = np.zeros((nr, n), np.float32)
+    keep = idx < n
+    want[:, idx[keep]] = vals[:, keep]
+    np.testing.assert_allclose(dense, want, atol=1e-6)

@@ -45,7 +45,6 @@ def main():
     from test_training import _make_synthetic_dataset
     from wildgaussians_tpu.models import gaussian_store as gs
     from wildgaussians_tpu.models.wildgaussians import WildGaussians
-    from wildgaussians_tpu.ops.sh import SH_C0
 
     rng = np.random.default_rng(12345)
     dataset, _scene = _make_synthetic_dataset(
@@ -76,7 +75,6 @@ def main():
     # base color: SH DC is stored as raw RGB in this method (features_dc,
     # reference method.py:916 keeps raw color, not SH-projected)
     colors = np.clip(np.asarray(g["features"])[alive][:, :3], 0.0, 1.0)
-    del SH_C0  # dc is raw RGB here; no 1/C0 conversion needed
     np.savez_compressed(args.out, xyz=xyz, scales=scales, rotations=rot,
                         opacities=opac, colors=colors)
     print(f"# saved {alive.sum()} gaussians -> {args.out}")

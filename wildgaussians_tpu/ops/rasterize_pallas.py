@@ -686,18 +686,109 @@ def _interpret() -> bool:
 def _tier2_merge(sums, big_list, bigs, n):
     """Merge tier-2 per-Gaussian gradient sums into the dense [nr, n] rows.
 
-    ONE batched scatter with the index vector shared across rows (per-row
-    .at[].add calls cost ~1.6 ms EACH at bench scale). This scatter is
-    ~12.5 ms at m_cap = 240k — 52 ns/index — and round-3 A/Bs could not
-    beat it: a [n, nr] transpose is layout-assigned straight back to
-    n-minor (190.0 ms/step either way), and a 16-lane-padded slice scatter
-    ([m_cap, 16] rows into [n, 16], each index one contiguous 64 B slice)
-    measured WORSE (193.4 ms/step): XLA TPU scatter cost is per-index
-    bookkeeping, not write coalescing. A searchsorted+gather merge (the
-    other scatter-free form) is bounded below by the same ~7 ns/elem
-    random-access wall at n indices (~10.5 ms) — not worth the rewrite."""
-    return sums.at[:, jnp.minimum(big_list, n)].add(
-        jnp.where(big_list < n, bigs, 0.0), mode="drop")
+    XLA's batched scatter (index vector shared across rows) costs ~12.5 ms
+    at m_cap = 240k — 52 ns/index of per-index bookkeeping — and round-3
+    A/Bs could not beat it at the XLA level (transpose relayouts, padded
+    slice scatters, searchsorted+gather merges all >= it; see git
+    history). Round 4 replaces it on TPU with a Pallas kernel that
+    exploits big_list being SORTED ASCENDING AND UNIQUE (it is built by a
+    1-row sort): grid over 2048-lane blocks of the dense output; each
+    block DMA-fetches its big_list segment (bounds via one tiny XLA
+    searchsorted) and PLACES the values with a [SEG, 2048] one-hot f32
+    matmul on the MXU — ~15 GF total at bench scale, <1 ms vs 12.5.
+    Interpret mode (CPU tests) and small pools keep the XLA scatter."""
+    if _interpret() or big_list.shape[0] < 4096:
+        return sums.at[:, jnp.minimum(big_list, n)].add(
+            jnp.where(big_list < n, bigs, 0.0), mode="drop")
+    return sums + _tier2_dense_pallas(big_list, bigs, n)
+
+
+_T2_L = 2048        # dense lanes per program
+_T2_SEG = 1024      # big-entry chunk per matmul round (1-D i32 HBM
+                    # arrays tile at (1024): slices must align to it)
+
+
+def _tier2_dense_pallas(big_list, bigs, n):
+    """[nr, n] dense rows holding bigs placed at big_list (sorted unique;
+    entries >= n ignored). See _tier2_merge."""
+    nr, m_cap = bigs.shape
+    nr_pad = _round_up(nr, 8)
+    m_pad = _round_up(m_cap, _T2_SEG) + _T2_SEG
+    B = (n + _T2_L - 1) // _T2_L
+    bl = jnp.concatenate(
+        [big_list.astype(jnp.int32),
+         jnp.full((m_pad - m_cap,), n, jnp.int32)])
+    bg = jnp.concatenate(
+        [bigs, jnp.zeros((nr_pad - nr, m_cap), bigs.dtype)])
+    bg = jnp.concatenate(
+        [bg, jnp.zeros((nr_pad, m_pad - m_cap), bigs.dtype)], axis=1)
+    # per-block segment bounds: block b owns gaussians [b*L, (b+1)*L)
+    bounds = jnp.arange(B + 1, dtype=jnp.int32) * _T2_L
+    seg = jnp.searchsorted(bl, jnp.minimum(bounds, n),
+                           side="left").astype(jnp.int32)
+    call = _make_tier2_call(nr_pad, m_pad, B)
+    dense = call(seg, bl, bg)
+    return dense[:nr, :n]
+
+
+@functools.lru_cache(maxsize=16)
+def _make_tier2_call(nr_pad: int, m_pad: int, B: int):
+    L, SEG = _T2_L, _T2_SEG
+
+    def kern(seg_ref, bl_hbm, bigs_hbm, out_ref, blbuf, bbuf, sem):
+        b = pl.program_id(0)
+        base = b * L
+        lo = seg_ref[b]
+        hi = seg_ref[b + 1]
+        afloor = pl.multiple_of((lo // SEG) * SEG, SEG)
+        nchunks = pl.cdiv(hi - afloor, SEG)
+        out_ref[:, :] = jnp.zeros((nr_pad, L), jnp.float32)
+        # one-hot built [L, SEG] so the segment indices stay in LANE form
+        # ([1, SEG] row — a (SEG,) -> (SEG, 1) column reshape would be a
+        # sublane relayout Mosaic handles poorly)
+        lane_col = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (1, SEG), 1)
+
+        def body(c, _):
+            st = pl.multiple_of(afloor + c * SEG, SEG)
+            cp1 = pltpu.make_async_copy(bl_hbm.at[pl.ds(st, SEG)],
+                                        blbuf, sem.at[0])
+            cp2 = pltpu.make_async_copy(bigs_hbm.at[:, pl.ds(st, SEG)],
+                                        bbuf, sem.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            gpos = st + srow                    # global big-list position
+            idx = blbuf[:].reshape(1, SEG) - base
+            valid = (gpos >= lo) & (gpos < hi) & (idx >= 0) & (idx < L)
+            onehot = jnp.where(valid & (idx == lane_col), 1.0, 0.0)
+            out_ref[:, :] += jax.lax.dot_general(
+                bbuf[:, :], onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((nr_pad, L), lambda b, *_: (0, b)),
+            scratch_shapes=[
+                pltpu.VMEM((SEG,), jnp.int32),
+                pltpu.VMEM((nr_pad, SEG), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nr_pad, B * _T2_L), jnp.float32),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )
 
 
 @functools.lru_cache(maxsize=64)
