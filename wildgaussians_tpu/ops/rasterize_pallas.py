@@ -73,6 +73,17 @@ _TRIU_BF16 = _os.environ.get("WG_TRIU_BF16", "0") == "1"
 # costs more than the ~10 fused VPU ops it removes. Kept off as a recorded
 # negative result (round 3).
 _MXU_POWER = _os.environ.get("WG_MXU_POWER", "0") == "1"
+# Entry-DMA pipeline depth (round-4 roofline experiment): per-chunk compute
+# (~256 entries x 256 px of VPU work) is close to the [8-16, 256] DMA's
+# latency, so a 2-deep pipeline stalls on every other chunk; 4-deep keeps
+# the DMA engine ahead. VMEM cost: NBUF x table_w x K x 4 B (~32 KB).
+_NBUF = max(int(_os.environ.get("WG_NBUF", "4")), 2)
+# Backward banded-parallel grid (round 4, VERDICT r3 #8): number of
+# independent tile bands the bwd kernel's OUTER grid dim exposes to
+# megacore scheduling. 1 = historical fully-sequential grid. Free on
+# 1-TensorCore v5e; set 2 on megacore v4/v5p parts. Correctness is
+# mesh/interpret-tested (test_rasterize_pallas.py::test_bwd_banded_*).
+_BWD_BANDS = max(int(_os.environ.get("WG_BWD_BANDS", "1")), 1)
 
 
 def _prefix_dot(l, triu):
@@ -376,9 +387,10 @@ def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pac
         [jnp.ones_like(px), px, py, px * px, px * py, py * py],
         axis=1) if (packed and _MXU_POWER) else None
 
-    @pl.when(n_chunks > 0)
-    def _():
-        _chunk_dma(entries_hbm, ebuf, sem, astart, 0, K, 0).start()
+    for j in range(_NBUF - 1):
+        @pl.when(j < n_chunks)
+        def _(j=j):
+            _chunk_dma(entries_hbm, ebuf, sem, astart, j, K, j % _NBUF).start()
 
     def cond(state):
         c, _color, t_carry, _stopped = state
@@ -386,12 +398,14 @@ def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pac
 
     def body(state):
         c, color, t_carry, stopped = state
-        slot = jax.lax.rem(c, 2)
+        slot = jax.lax.rem(c, _NBUF)
         _chunk_dma(entries_hbm, ebuf, sem, astart, c, K, slot).wait()
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + _NBUF - 1 < n_chunks)
         def _():
-            _chunk_dma(entries_hbm, ebuf, sem, astart, c + 1, K, 1 - slot).start()
+            nxt = c + _NBUF - 1
+            _chunk_dma(entries_hbm, ebuf, sem, astart, nxt, K,
+                       jax.lax.rem(nxt, _NBUF)).start()
 
         entries = ebuf[slot]
         pos = c * K + kidx - shift
@@ -412,11 +426,13 @@ def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pac
             jnp.zeros((P_PIX, 1), jnp.float32))
     c_fin, color, t_carry, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain the prefetch left outstanding by an early exit
-    @pl.when(c_fin < n_chunks)
-    def _():
-        _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin, K,
-                   jax.lax.rem(c_fin, 2)).wait()
+    # drain the prefetches left outstanding by an early exit (up to
+    # _NBUF - 1 chunks ahead were started)
+    for j in range(_NBUF - 1):
+        @pl.when(c_fin + j < n_chunks)
+        def _(j=j):
+            _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin + j, K,
+                       jax.lax.rem(c_fin + j, _NBUF)).wait()
 
     ow = _out_width(np_)
     out_pack[0, :, :] = jnp.concatenate(
@@ -424,10 +440,32 @@ def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pac
          jnp.zeros((P_PIX, ow - 3 * np_ - 1), jnp.float32)], axis=1)
 
 
-def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pack,
-                fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2, sem3,
-                *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
-                packed: bool = False, grad_packed: bool = False):
+def _bwd_kernel_banded(tbase_ref, ndc_ref, starts_ref, counts_ref,
+                       entries_hbm, cot_pack, fwd_pack, egrad_init_hbm,
+                       egrad_hbm, stage_ref, ebuf, gbuf, hbuf, sem, sem2,
+                       sem3, **kw):
+    del egrad_init_hbm   # zero base aliased INTO egrad_hbm by the caller
+    return _bwd_kernel_impl(tbase_ref, ndc_ref, starts_ref, counts_ref,
+                            entries_hbm, cot_pack, fwd_pack, egrad_hbm,
+                            stage_ref, ebuf, gbuf, hbuf, sem, sem2, sem3,
+                            **kw)
+
+
+def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm,
+                cot_pack, fwd_pack, egrad_hbm, ebuf, gbuf, hbuf, sem, sem2,
+                sem3, **kw):
+    return _bwd_kernel_impl(tbase_ref, ndc_ref, starts_ref, counts_ref,
+                            entries_hbm, cot_pack, fwd_pack, egrad_hbm,
+                            None, ebuf, gbuf, hbuf, sem, sem2, sem3, **kw)
+
+
+def _bwd_kernel_impl(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm,
+                     cot_pack, fwd_pack, egrad_hbm, stage_ref, ebuf, gbuf,
+                     hbuf, sem, sem2, sem3,
+                     *, grid: TileGrid, K: int, col0s: tuple = (6,),
+                     a0: int = 0,
+                     packed: bool = False, grad_packed: bool = False,
+                     bands: int = 1, t_band: int = 0):
     """Fused multi-pass backward: one traversal recomputes the forward
     recurrence ONCE; per pass only the color contraction / prefix / dcol
     differ, and their dalpha contributions are linear so they sum into a
@@ -435,7 +473,26 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
     cols [3i:3i+3]; col 3*np = per-pass gt_eff in cot, shared final_T in
     fwd ... cot gt_eff of pass i sits at col 3*np + i)."""
     np_ = len(col0s)
-    t = pl.program_id(0)
+    if bands > 1:
+        # Banded-parallel grid (round 4): megacore cores each walk a
+        # CONTIGUOUS tile band sequentially. egrad is ZERO-INITIALIZED
+        # (input/output aliasing in the caller), and each band's writes
+        # that would CROSS into the next band's 128-aligned head region
+        # (at most two 256-chunks, at lattice offsets na-128 and na, na =
+        # floor128(next band's first start)) are em-MASKED into a
+        # band-private [GW, 512] stage window instead of egrad. Because
+        # every egrad/stage write is em-masked per entry and the base is
+        # zeros, the caller's pass 2 is ONE unconditional dynamic-slice
+        # ADD of each stage window at na-128 — no boundary arithmetic.
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        t = b * t_band + i
+        next_na = (starts_ref[jnp.minimum(b + 1, bands - 1) * t_band]
+                   // 128) * 128
+    else:
+        b = jnp.int32(0)
+        i = t = pl.program_id(0)
+        next_na = jnp.int32(0)
     start = starts_ref[t]
     count = counts_ref[t]
     gt = t + tbase_ref[0]      # global tile id (sharded: shard-local t)
@@ -445,16 +502,32 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
     triu = _triu(K)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     n_chunks = pl.cdiv(shift + count, K)
+
+    def _staged(c):
+        if bands == 1:
+            return jnp.bool_(False)
+        return (b < bands - 1) & (astart + (c + 1) * K > next_na)
+
+    if bands > 1:
+        @pl.when(i == 0)
+        def _():
+            stage_ref[0, :, :] = jnp.zeros_like(stage_ref[0])
     # pixel-basis for the packed-mode moment matmul (see grad block below)
     pix_basis = jnp.concatenate(
         [jnp.ones_like(px), px, py, px * px, px * py, py * py], axis=1)
 
+    for j in range(_NBUF - 1):
+        @pl.when(j < n_chunks)
+        def _(j=j):
+            _chunk_dma(entries_hbm, ebuf, sem, astart, j, K, j % _NBUF).start()
+
     @pl.when(n_chunks > 0)
     def _():
-        _chunk_dma(entries_hbm, ebuf, sem, astart, 0, K, 0).start()
         # head block may hold the previous tile's tail gradients (written
-        # earlier; the grid is sequential): fetch them for the chunk-0 merge
-        @pl.when(shift > 0)
+        # earlier; the within-band grid is sequential): fetch them for the
+        # chunk-0 merge. A STAGED chunk 0 must not merge egrad content
+        # (it would duplicate direct writes through the pass-2 add).
+        @pl.when((shift > 0) & jnp.logical_not(_staged(0)))
         def _():
             pltpu.make_async_copy(
                 egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, 128), K)],
@@ -477,12 +550,14 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
 
     def body(state):
         c, t_carry, acc_dot, stopped = state
-        slot = jax.lax.rem(c, 2)
+        slot = jax.lax.rem(c, _NBUF)
         _chunk_dma(entries_hbm, ebuf, sem, astart, c, K, slot).wait()
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + _NBUF - 1 < n_chunks)
         def _():
-            _chunk_dma(entries_hbm, ebuf, sem, astart, c + 1, K, 1 - slot).start()
+            nxt = c + _NBUF - 1
+            _chunk_dma(entries_hbm, ebuf, sem, astart, nxt, K,
+                       jax.lax.rem(nxt, _NBUF)).start()
 
         entries = ebuf[slot]
         pos = c * K + kidx - shift
@@ -612,8 +687,9 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
             ], axis=0)
         off = pl.multiple_of(astart + c * K, 128)
         gslot = jax.lax.rem(c, 2)
-        # wait for the previous grad writeback using this slot (c-2)
-        @pl.when(c >= 2)
+        # wait for the previous grad writeback using this slot (c-2;
+        # staged chunks start no DMA, so their slot has nothing pending)
+        @pl.when((c >= 2) & jnp.logical_not(_staged(c - 2)))
         def _():
             pltpu.make_async_copy(
                 gbuf.at[gslot],
@@ -621,15 +697,27 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
                 sem2.at[gslot]).wait()
         gbuf[gslot] = jnp.where(em, g, 0.0)
         # chunk 0: merge-preserve the previous tile's tail entries
-        @pl.when((c == 0) & (shift > 0))
+        @pl.when((c == 0) & (shift > 0) & jnp.logical_not(_staged(0)))
         def _():
             pltpu.make_async_copy(
                 egrad_hbm.at[:, pl.ds(pl.multiple_of(astart, 128), K)],
                 hbuf, sem3).wait()
             gbuf[gslot] = jnp.where(em, g, hbuf[:, :])
-        pltpu.make_async_copy(gbuf.at[gslot],
-                              egrad_hbm.at[:, pl.ds(off, K)],
-                              sem2.at[gslot]).start()
+        if bands > 1:
+            @pl.when(_staged(c))
+            def _():
+                # cumulative em-masked merge into the band's crossing
+                # window (base wb = max(na-128, 0), mirrored by pass 2)
+                wb = jnp.maximum(next_na - 128, 0)
+                soff = pl.multiple_of(
+                    jnp.clip(astart + c * K - wb, 0, 128), 128)
+                cur = stage_ref[0, :, pl.ds(soff, K)]
+                stage_ref[0, :, pl.ds(soff, K)] = jnp.where(em, g, cur)
+        @pl.when(jnp.logical_not(_staged(c)))
+        def _():
+            pltpu.make_async_copy(gbuf.at[gslot],
+                                  egrad_hbm.at[:, pl.ds(off, K)],
+                                  sem2.at[gslot]).start()
 
         return (c + 1, st["new_t"], jnp.concatenate(acc_new, axis=1),
                 st["new_stopped"])
@@ -644,13 +732,14 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
     # ~192) — the wait amount happens to be offset-independent today, but a
     # descriptor built from a different offset would break if the copy shape
     # ever depended on it.
-    @pl.when(c_fin < n_chunks)
-    def _():
-        _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin, K,
-                   jax.lax.rem(c_fin, 2)).wait()
+    for j in range(_NBUF - 1):
+        @pl.when(c_fin + j < n_chunks)
+        def _(j=j):
+            _chunk_dma(entries_hbm, ebuf, sem, astart, c_fin + j, K,
+                       jax.lax.rem(c_fin + j, _NBUF)).wait()
 
     def _drain_grad(ci):
-        @pl.when(ci >= 0)
+        @pl.when((ci >= 0) & jnp.logical_not(_staged(ci)))
         def _():
             pltpu.make_async_copy(
                 gbuf.at[jax.lax.rem(ci, 2)],
@@ -668,12 +757,14 @@ def _bwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, cot_pac
         gbuf[0] = jnp.zeros_like(gbuf[0])
 
         def zbody(c, _):
-            copy = pltpu.make_async_copy(
-                gbuf.at[0],
-                egrad_hbm.at[:, pl.ds(pl.multiple_of(astart + c * K, 128), K)],
-                sem2.at[0])
-            copy.start()
-            copy.wait()
+            @pl.when(jnp.logical_not(_staged(c)))
+            def _():
+                copy = pltpu.make_async_copy(
+                    gbuf.at[0],
+                    egrad_hbm.at[:, pl.ds(pl.multiple_of(astart + c * K, 128), K)],
+                    sem2.at[0])
+                copy.start()
+                copy.wait()
             return 0
         jax.lax.fori_loop(c_fin, n_chunks, zbody, 0)
 
@@ -795,7 +886,7 @@ def _make_tier2_call(nr_pad: int, m_pad: int, B: int):
 def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
                        table_w: int = ATTR_W, col0=6, a0: int = 0,
                        T_prog: int = 0, packed: bool = False,
-                       grad_packed: bool = False):
+                       grad_packed: bool = False, bwd_bands: int = 1):
     """col0 is an int (single pass, historical) or a tuple of per-pass
     color-column offsets: a tuple builds FUSED multi-pass kernels (one
     traversal blends / back-propagates every pass)."""
@@ -824,8 +915,8 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=[pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0))],
             scratch_shapes=[
-                pltpu.VMEM((2, table_w, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((_NBUF, table_w, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NBUF,)),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((T_tiles, P_PIX, OW), jnp.float32)],
@@ -834,6 +925,58 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
         interpret=interpret,
     )
 
+    scratch = [
+        pltpu.VMEM((_NBUF, table_w, K), jnp.float32),
+        pltpu.VMEM((2, GW, K), jnp.float32),
+        pltpu.VMEM((GW, K), jnp.float32),
+        pltpu.SemaphoreType.DMA((_NBUF,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if bwd_bands > 1:
+        # banded-parallel backward (round 4): outer grid dim = bands
+        # (megacore cores), inner sequential within the band; the
+        # band-boundary blocks come back through the `stage` output and
+        # the caller's pass-2 merge (see _bwd_kernel_impl).
+        assert T_tiles % bwd_bands == 0, (T_tiles, bwd_bands)
+        T_b = T_tiles // bwd_bands
+        SW = 512   # stage window: [na-128, na+384) per band boundary
+        bwd_call = pl.pallas_call(
+            functools.partial(_bwd_kernel_banded, grid=grid, K=K,
+                              col0s=col0s, a0=a0, packed=packed,
+                              grad_packed=grad_packed, bands=bwd_bands,
+                              t_band=T_b),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(bwd_bands, T_b),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec((1, P_PIX, OW),
+                                 lambda b, i, *_: (b * T_b + i, 0, 0)),
+                    pl.BlockSpec((1, P_PIX, OW),
+                                 lambda b, i, *_: (b * T_b + i, 0, 0)),
+                    pl.BlockSpec(memory_space=pltpu.HBM),   # zeros base
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec((1, GW, SW), lambda b, i, *_: (b, 0, 0)),
+                ],
+                scratch_shapes=scratch,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((GW, R_pad), jnp.float32),
+                       jax.ShapeDtypeStruct((bwd_bands, GW, SW),
+                                            jnp.float32)],
+            # the zeros input (operand indices INCLUDE the 4
+            # scalar-prefetch args: entries=4, cot=5, fwd=6, zeros=7)
+            # becomes the egrad base: unwritten regions stay ZERO, which
+            # is what makes the caller's pass-2 a pure add
+            input_output_aliases={7: 0},
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True,
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )
+        return fwd_call, bwd_call
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, grid=grid, K=K, col0s=col0s, a0=a0,
                           packed=packed, grad_packed=grad_packed),
@@ -846,14 +989,7 @@ def _make_pallas_calls(grid: TileGrid, K: int, R_pad: int,
                 pl.BlockSpec((1, P_PIX, OW), lambda i, *_: (i, 0, 0)),   # fwd out
             ],
             out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            scratch_shapes=[
-                pltpu.VMEM((2, table_w, K), jnp.float32),
-                pltpu.VMEM((2, GW, K), jnp.float32),
-                pltpu.VMEM((GW, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[jax.ShapeDtypeStruct((GW, R_pad), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -1246,8 +1382,11 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
      depth_bits) = _sort_engine_sizes(grid, K, n, d_max, n_passes, d_small,
                                       big_fraction, pack16)
     slots1 = n * d1
+    bands = (_BWD_BANDS if _BWD_BANDS > 1
+             and grid.num_tiles % _BWD_BANDS == 0 else 1)
     calls = _make_pallas_calls(grid, K, R_pad, table_w, tuple(col0s),
-                               packed=pack16, grad_packed=True)
+                               packed=pack16, grad_packed=True,
+                               bwd_bands=bands)
 
     def _sort_entries(mean2d, conic, opacity, colors_stack, depth, rect_min,
                       rect_max, tiles_touched, valid):
@@ -1319,9 +1458,34 @@ def _make_pallas_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
             + [ge[..., None] for ge in gt_effs]
             + [jnp.zeros((T_tiles, P_PIX, ow - 4 * n_passes), jnp.float32)],
             axis=-1)
-        (eg,) = calls[1](jnp.zeros((1,), jnp.int32),
-                         jnp.asarray(ndc_scale, jnp.float32), tile_starts,
-                         tile_counts, table, cot_pack, fwd_pack)
+        if bands > 1:
+            gw = _grad_width(n_passes)
+            zeros_base = jnp.zeros((gw, R_pad), jnp.float32)
+            eg, stage = calls[1](jnp.zeros((1,), jnp.int32),
+                                 jnp.asarray(ndc_scale, jnp.float32),
+                                 tile_starts, tile_counts, table, cot_pack,
+                                 fwd_pack, zeros_base)
+            # pass 2: add each band's crossing window back (pure add over
+            # the zero-initialized base; see _bwd_kernel_impl)
+            T_b = T_tiles // bands
+            for bb in range(1, bands):
+                na = (tile_starts[bb * T_b] // 128) * 128
+                off = jnp.maximum(na - 128, 0)
+                win = jax.lax.dynamic_slice(eg, (0, off), (gw, 512))
+                # rows hold f16-PAIR BIT PATTERNS in f32 lanes: merge in
+                # the integer domain (disjoint em-masks -> one side is
+                # all-zero bits, so OR is exact; an f32 add would FLUSH
+                # subnormal-looking patterns to zero)
+                u32 = jnp.uint32
+                merged = jax.lax.bitcast_convert_type(
+                    jax.lax.bitcast_convert_type(win, u32)
+                    | jax.lax.bitcast_convert_type(stage[bb - 1], u32),
+                    jnp.float32)
+                eg = jax.lax.dynamic_update_slice(eg, merged, (0, off))
+        else:
+            (eg,) = calls[1](jnp.zeros((1,), jnp.int32),
+                             jnp.asarray(ndc_scale, jnp.float32), tile_starts,
+                             tile_counts, table, cot_pack, fwd_pack)
         dbg = jnp.einsum("itpc,tp->c", gC, ft, precision=_HIGH)
 
         # eg rows arrive f16-PAIR-packed from the fused kernel: sequential
