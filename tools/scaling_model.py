@@ -118,7 +118,7 @@ def main():
             ("defaults (send_beta=2.0)", {}),
             ("balanced (send_beta=1.1, the trainer's adaptive floor)",
              {"send_beta": 1.1}),
-            ("balanced + Pallas copy-restore (planned)",
+            ("balanced + copy-restore (IMPLEMENTED round 4: D masked dynamic-slice writes + one R_loc un-sort replace the 2*R_loc merge)",
              {"send_beta": 1.1, "copy_restore": True})):
         rows = [project(D, chip=args.chip, **kw) for D in (2, 4, 8, 16)]
         print(f"## {name}")

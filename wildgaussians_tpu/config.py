@@ -121,6 +121,10 @@ class Config:
     # forced automatically under a device mesh, where it is the only
     # shard-capable path)
     pallas_binning: str = "sort"
+    # f16/rgb10-packed entry tables (pack-v2). False = exact-parity f32
+    # rows (2x sort payload traffic); the quality A/B on the synthetic
+    # scene measured no PSNR/densify difference (round 4, VERDICT r3 #9).
+    pallas_pack16: bool = True
     # Sharded sort engine: per-(sender, band) all-to-all send capacity as a
     # multiple of the balanced load R_loc/D. Segments beyond the cap drop
     # (surfaced via the send_drops metric); the trainer auto-grows this on

@@ -1773,33 +1773,29 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         back = jax.lax.all_to_all(jnp.stack(un[1:]), mesh_axis,
                                   split_axis=1, concat_axis=1, tiled=True)
 
-        # slot restore: merge the received chunks (keyed by each entry's
-        # original SLOT index) with an explicit complement stream — slots
-        # whose entries were never sent (key-invalid tail, send-cap drops)
-        # carry zero gradient — so every slot appears exactly once and one
-        # stable sort yields the dense slot-ordered gradient table
+        # slot restore, round 4 ("copy-restore", tools/scaling_model.py):
+        # chunk b of `back` holds grads for my local-sort positions
+        # [seg[b], seg[b]+len_b) IN ORDER, so restoring local-sort order
+        # is D masked dynamic-slice writes (forward order: each chunk's
+        # zero-masked cap tail is overwritten by the next chunk's run;
+        # positions never sent — cap drops, key-invalid tail — keep the
+        # zero base). One R_loc un-sort by sflat then yields slot order,
+        # replacing round 2/3's 2*R_loc complement-stream merge sort
+        # (the single biggest term in the projected multi-chip scaling
+        # deficit).
         idx = jnp.arange(C, dtype=jnp.int32)
-        sfpad = jnp.concatenate(
-            [sflat, jnp.full((C,), R_loc, jnp.int32)])
-        akey = jnp.concatenate([
-            jnp.where((seg[b] + idx) < seg[b + 1],
-                      jax.lax.dynamic_slice(sfpad, (seg[b],), (C,)),
-                      R_loc)
-            for b in range(D)])
-        p = jnp.arange(R_loc, dtype=jnp.int32)
-        band_p = jnp.clip(jnp.searchsorted(seg, p, side="right") - 1,
-                          0, D - 1)
-        sent = (p < seg[D]) & ((p - seg[band_p]) < C)
-        bkey_c = jnp.where(sent, R_loc, sflat)
-        keys = jnp.concatenate([akey, bkey_c])
-        zrow = jnp.zeros((R_loc,), jnp.uint32)
-        # every kept key (< R_loc) appears exactly once — only the dropped
-        # R_loc-sentinel tail has duplicates — so unstable sorting cannot
-        # change the [:R_loc] prefix
+        restored = jnp.zeros((back.shape[0], R_loc + C), jnp.uint32)
+        for b in range(D):
+            live = idx < (seg[b + 1] - seg[b])
+            piece = jnp.where(live[None, :], back[:, b * C:(b + 1) * C], 0)
+            restored = jax.lax.dynamic_update_slice(
+                restored, piece, (0, seg[b]))
+        restored = restored[:, :R_loc]
+        # sflat is a permutation of [0, R_loc) (the local sort's payload
+        # iota): unstable 1-key sort restores dense slot order
         merged = jax.lax.sort(
-            (keys, *[jnp.concatenate([back[r], zrow])
-                     for r in range(back.shape[0])]), num_keys=1,
-            is_stable=False)
+            (sflat, *[restored[r] for r in range(restored.shape[0])]),
+            num_keys=1, is_stable=False)
 
         def _unpack(i):
             word = merged[1 + i // 2][:R_loc]
