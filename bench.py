@@ -424,7 +424,8 @@ def main():
     d1 = min(d_small, d_max)
     R_slots = n_gaussians * d1 + int(n_gaussians * 0.16) * (d_max - d1)
     bound = model_bound_ms(int(num_rendered), R_slots,
-                           fwd_rows=3 + n_bench_passes, bwd_rows=5,
+                           fwd_rows=3 + n_bench_passes,
+                           bwd_rows=(7 + 3 * n_bench_passes + 1) // 2,
                            fwd_only=fwd_only or static)
     result["model_bound_ms"] = round(bound, 1)
     result["model_bound_fraction"] = round(bound / (dt * 1e3), 3)

@@ -36,8 +36,6 @@ def test_full_trainer_without_aot_workaround(rng, monkeypatch):
     """Drive the real mesh trainer (sharded store + densify) with the AOT
     workaround bypassed. Reproduces the live jax-0.9 crash."""
     monkeypatch.setenv("WG_NO_AOT", "1")
-    import sys
-    sys.path.insert(0, "/root/repo/tests")
     from test_parallel import _run_sharded_training
 
     _run_sharded_training(rng, shard_store=True)

@@ -300,3 +300,27 @@ def test_bwd_banded_grid_matches_sequential(rng):
     for gs, gb in zip(g_seq, g_band):
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gs),
                                    rtol=0, atol=0)
+
+
+def test_bright_colors_survive_rgb10(rng):
+    """SH colors can exceed the rgb10 encode range [-0.5, 1.5); the
+    per-pass auto-normalization (code-review r4 finding) must keep
+    pallas == tiled for bright color sets instead of silently clipping."""
+    import jax.numpy as jnp
+    from helpers import make_camera, make_scene
+    import wildgaussians_tpu.cameras as wc
+    from wildgaussians_tpu.ops.rasterize import rasterize_gaussians
+
+    scene = make_scene(rng, n=300, spread=1.5, z_range=(3.0, 7.0))
+    colors = (scene["colors"] * 2.4).astype(np.float32)  # up to ~2.4 > 1.5
+    cam = make_camera(width=64, height=48)
+    params, w, h = wc.make_camera_params(cam)
+    args = (scene["xyz"], scene["scales"], scene["rotations"],
+            scene["opacities"], colors)
+    outs = {}
+    for backend in ("tiled", "pallas"):
+        outs[backend] = np.asarray(rasterize_gaussians(
+            *map(jnp.asarray, args), params, w, h, kernel_size=0.1,
+            backend=backend, big_fraction=0.5).color)
+    assert outs["tiled"].max() > 1.6, "fixture must actually exceed range"
+    np.testing.assert_allclose(outs["pallas"], outs["tiled"], atol=2.5e-2)

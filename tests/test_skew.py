@@ -24,8 +24,6 @@ import jax.numpy as jnp
 @pytest.fixture(scope="module")
 def skewed():
     rng = np.random.default_rng(7)
-    import sys
-    sys.path.insert(0, "/root/repo/tests")
     from helpers import make_camera, make_scene
     import wildgaussians_tpu.cameras as wc
     from wildgaussians_tpu.ops.gaussians import compute_cov3d, preprocess

@@ -78,7 +78,7 @@ def reference_state_to_store(state: Dict[str, np.ndarray], config: Config,
     cap = capacity or _round_up(max(int(n * 1.2), n + 1024), 256)
     assert n <= cap
 
-    def pad(x, width=None):
+    def pad(x):
         x = np.asarray(x, np.float32)
         if x.ndim == 1:
             x = x[:, None]
@@ -149,8 +149,7 @@ def reference_state_to_store(state: Dict[str, np.ndarray], config: Config,
     return params, aux, extras
 
 
-def _adam_from_reference(optimizer: Optional[dict], params: dict,
-                         config: Config, cap: int):
+def _adam_from_reference(optimizer: Optional[dict], params: dict):
     """Best-effort Adam moment import (reference param-group layout,
     method.py:1029-1053). Group order: xyz, features_dc, opacities, scales,
     rotations, [appearance_embeddings], [embeddings], [features_rest],
@@ -238,7 +237,7 @@ def import_reference_checkpoint(src_dir: str, dst_dir: str,
 
     params, aux, extras = reference_state_to_store(state, config, capacity)
     cap = params["xyz"].shape[0]
-    mu, nu, adam_step = _adam_from_reference(optimizer, params, config, cap)
+    mu, nu, adam_step = _adam_from_reference(optimizer, params)
 
     flat = {}
 

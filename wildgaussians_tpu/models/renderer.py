@@ -121,7 +121,11 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         dist = jnp.linalg.norm(means3d - camera.campos[None], axis=-1)
         # pack-v2 color rows quantize to [-0.5, 1.5): normalize the depth
         # color set by its max (compositing is linear in color, so the
-        # scale commutes out and is re-applied to the blended image below)
+        # scale commutes out and is re-applied to the blended image
+        # below). Depth precision is therefore ~max_depth/1024 absolute
+        # (uniform) — fine for visualization/eval archives, and training
+        # never renders depth; use pallas_pack16=False for exact f32
+        # depth passes.
         depth_norm = jnp.max(jnp.where(pre.valid, dist, 0.0)) + 1e-6
         passes.append(("depth", jnp.tile((dist / depth_norm)[:, None],
                                          (1, 3))))

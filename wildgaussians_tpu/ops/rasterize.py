@@ -163,6 +163,9 @@ class StaticBinning(NamedTuple):
     table: jnp.ndarray        # [table_w, R_pad] packed entries
     tile_starts: jnp.ndarray  # [T+1]
     tile_counts: jnp.ndarray  # [T]
+    # rgb10 rows encode [-0.5, 1.5): colors were normalized by this scale
+    # at bin time; render_static multiplies it back (blend is linear)
+    color_scale: jnp.ndarray = jnp.float32(1.0)
 
 
 def bin_static(means3d, scales, rotations, opacities, colors,
@@ -186,11 +189,12 @@ def bin_static(means3d, scales, rotations, opacities, colors,
     bin_fn, _blend = _make_static_renderer(
         grid, chunk, means3d.shape[0], max_tiles_per_gaussian, 1,
         d_small, big_fraction, True)
+    scale = jnp.maximum(1.0, (jnp.max(colors) + 1e-6) * (1.0 / 1.49))
     table, starts, counts = bin_fn(
-        pre.mean2d, pre.conic, pre.opacity, colors[None], pre.depth,
-        pre.rect_min, pre.rect_max,
+        pre.mean2d, pre.conic, pre.opacity, (colors / scale)[None],
+        pre.depth, pre.rect_min, pre.rect_max,
         jnp.minimum(pre.tiles_touched, max_tiles_per_gaussian), pre.valid)
-    return StaticBinning(table, starts, counts)
+    return StaticBinning(table, starts, counts, scale)
 
 
 def render_static(binning: StaticBinning, n: int, width: int, height: int,
@@ -209,7 +213,10 @@ def render_static(binning: StaticBinning, n: int, width: int, height: int,
     _bin, blend_fn = _make_static_renderer(
         grid, chunk, n, max_tiles_per_gaussian, 1, d_small, big_fraction,
         True)
+    # blend ran on normalized colors with bg folded in at scale: rescale
+    # color (T is scale-free). bg was passed unnormalized to blend_fn, so
+    # pass bg/scale and multiply out — out = scale*blend(c/s, bg/s).
     pack = blend_fn(binning.table, binning.tile_starts, binning.tile_counts,
-                    bg)[0]
-    return (tiles_to_image(pack[:, :, 0:3], grid),
+                    bg / binning.color_scale)[0]
+    return (tiles_to_image(pack[:, :, 0:3], grid) * binning.color_scale,
             tiles_to_image(pack[:, :, 3], grid))

@@ -2549,6 +2549,18 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     n = mean2d.shape[0]
     ndc = (jnp.ones((2,), jnp.float32) if ndc_scale is None
            else jnp.asarray(ndc_scale, jnp.float32).reshape(2))
+    # pack-v2 rgb10 rows encode [-0.5, 1.5): SH colors can EXCEED 1.5
+    # (evaluated SH sums several basis terms even with per-coefficient
+    # caps), so each color pass is auto-normalized by a stop-gradient
+    # per-pass scale s >= 1 OUTSIDE the custom_vjp (compositing is linear
+    # in color: out = s * blend(c/s, bg/s); JAX AD handles the chain, the
+    # engines see in-range colors). s == 1 whenever colors already fit.
+    color_scales = None
+    if pack16 and binning == "sort":
+        color_scales = [jax.lax.stop_gradient(jnp.maximum(
+            1.0, (jnp.max(c) + 1e-6) * (1.0 / 1.49)))
+            for c in colors_list]
+        colors_list = [c / s for c, s in zip(colors_list, color_scales)]
     if mesh is not None and binning == "gather":
         binning = "sort"        # gather has no sharded path
     if mesh is not None and binning == "sort":
@@ -2580,10 +2592,23 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                                        big_fraction, pack16)
     stack = jnp.stack(colors_list)
     if binning == "sort":
-        out = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
-                    pre_depth, pre_rect_min, pre_rect_max,
-                    jnp.minimum(pre_tiles_touched, max_tiles_per_gaussian),
-                    pre_valid, ndc)
+        # bg rides INSIDE blend as pack + T*bg: feed bg/s per pass and
+        # rescale the outputs so out_i = s_i*pack_i + T*bg exactly.
+        # The per-pass bg is folded below; blend itself gets bg=0 when
+        # scaling is active and the T*bg term is re-added scaled.
+        if color_scales is not None:
+            out = blend(mean2d, conic, opacity, stack, absgrad_hook,
+                        jnp.zeros_like(bg),
+                        pre_depth, pre_rect_min, pre_rect_max,
+                        jnp.minimum(pre_tiles_touched,
+                                    max_tiles_per_gaussian),
+                        pre_valid, ndc)
+        else:
+            out = blend(mean2d, conic, opacity, stack, absgrad_hook, bg,
+                        pre_depth, pre_rect_min, pre_rect_max,
+                        jnp.minimum(pre_tiles_touched,
+                                    max_tiles_per_gaussian),
+                        pre_valid, ndc)
     else:
         # per-axis engines: pre-scaling the (zero) hook scales its
         # cotangent by ndc (d/dh f(h*s) = s * f'(h*s); forward unchanged)
@@ -2596,6 +2621,12 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
     # caps); single-chip engines never truncate the exchange
     C_t, T_t = out[0], out[1]
     send_drops = out[2] if len(out) > 2 else jnp.int32(0)
+    if color_scales is not None:
+        # undo the per-pass normalization and re-add the background term
+        # (blend ran with bg=0): out_i = s_i*pack_i + T*bg
+        C_t = jnp.stack([C_t[i] * color_scales[i]
+                         + T_t[i][..., None] * bg[None, None, :]
+                         for i in range(len(colors_list))])
     images = [(tiles_to_image(C_t[i], grid), tiles_to_image(T_t[i], grid))
               for i in range(len(colors_list))]
     if return_aux:
