@@ -254,3 +254,35 @@ def test_size_bucketing_mixed_resolutions(rng):
     assert len(m._step_cache) >= 2
     out = m.render(dataset["cameras"][1])
     assert out["color"].shape == (64, 48, 3)
+
+
+def test_tile_budget_autogrow_saturates(rng):
+    """Round-4 fix: on scenes whose footprints exceed ANY tile budget the
+    overflow auto-grow must latch saturated instead of recompiling with
+    ever larger tables every 10 steps forever (observed 54 s -> 137 s
+    recompiles at fixture scale)."""
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+
+    dataset, _ = _make_synthetic_dataset(rng)
+    method = WildGaussians(train_dataset=dataset,
+                           config_overrides=dict(OVERRIDES))
+    budgets = [method.config.max_tiles_per_gaussian]
+    # constant, never-improving overflow: trigger the grow path repeatedly
+    for _ in range(8):
+        for _ in range(10):
+            method._maybe_grow_tile_budget(5000.0, 0.0)
+        budgets.append(method.config.max_tiles_per_gaussian)
+    # exactly ONE grow, then the non-converging overflow latches saturation
+    assert budgets[1] == budgets[0] * 3 // 2 + 1
+    assert budgets[-1] == budgets[1], budgets
+    assert method._tile_budget_saturated
+    # an IMPROVING overflow keeps growing until the cap
+    method2 = WildGaussians(train_dataset=dataset,
+                            config_overrides=dict(OVERRIDES))
+    level = 50000.0
+    for _ in range(4):
+        for _ in range(10):
+            method2._maybe_grow_tile_budget(level, 0.0)
+        level *= 0.5   # each grow halves the overflow -> keeps converging
+    assert method2.config.max_tiles_per_gaussian > budgets[1]
+    assert not method2.__dict__.get("_tile_budget_saturated", False)

@@ -30,6 +30,9 @@ class RenderPkg(NamedTuple):
     # sharded-engine send-cap drops (subset of overflow): lets the trainer
     # adapt send_beta directly instead of growing the tile budget
     send_drops: Any = 0
+    # largest raw tile rect in the scene this step: the EXACT budget the
+    # overflow auto-grow needs, so one staged recompile suffices
+    max_tiles: Any = 0
 
 
 def render_internal(gaussians: Dict[str, jnp.ndarray],
@@ -196,4 +199,6 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
     return RenderPkg(render=rendered, raw_render=raw_img,
                      accumulation=accumulation, radii=pre.radius,
                      depth=depth, num_rendered=num_rendered,
-                     overflow=overflow, send_drops=send_drops)
+                     overflow=overflow, send_drops=send_drops,
+                     max_tiles=jnp.max(jnp.where(pre.valid,
+                                                 pre.tiles_touched, 0)))

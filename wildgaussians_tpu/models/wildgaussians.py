@@ -384,6 +384,9 @@ class WildGaussians:
             metrics["num_rendered"] = pkg.num_rendered
             metrics["overflow"] = pkg.overflow
             metrics["send_drops"] = jnp.asarray(pkg.send_drops)
+            metrics["max_tiles"] = jnp.asarray(pkg.max_tiles)
+            # in-step so the host never issues an extra dispatch for it
+            metrics["num_gaussians"] = jnp.sum(aux.alive)
             return params, adam, aux, metrics, new_bn
 
         # Pin the OUTPUT shardings of the store explicitly: letting GSPMD
@@ -512,10 +515,20 @@ class WildGaussians:
         elif (iteration % 100 == 0 and iteration < self.config.iterations - 100):
             self._refresh_filter()
 
-        out = {k: float(v) for k, v in metrics.items()}
-        out["num_gaussians"] = int(jnp.sum(self.aux.alive))
+        # ONE host transfer for the whole metrics dict: per-leaf fetches
+        # (a float() loop, or even jax.device_get, which transfers leaves
+        # separately) each pay a device round trip — ~8 ms x 9 metrics
+        # over the axon relay, profiled at fixture scale. Stack the
+        # scalars into one vector on device and fetch once; every metric
+        # is integer-exact below 2^24 so the f32 promotion is lossless.
+        keys = list(metrics.keys())
+        vec = np.asarray(jnp.stack([metrics[k].astype(jnp.float32)
+                                    for k in keys]))
+        out = {k: float(v) for k, v in zip(keys, vec)}
+        out["num_gaussians"] = int(out["num_gaussians"])
         self._maybe_grow_tile_budget(out.get("overflow", 0.0),
-                                     out.get("send_drops", 0.0))
+                                     out.get("send_drops", 0.0),
+                                     out.get("max_tiles", 0.0))
         self.step = step + 1
         return out
 
@@ -582,7 +595,8 @@ class WildGaussians:
         self.aux = jax.tree_util.tree_map(lambda x: x, put(self.aux))
         self._store_on_mesh = mesh
 
-    def _maybe_grow_tile_budget(self, overflow: float, send_drops: float = 0.0):
+    def _maybe_grow_tile_budget(self, overflow: float, send_drops: float = 0.0,
+                                max_tiles: float = 0.0):
         """Auto-bump the per-Gaussian tile budget on persistent truncation.
 
         Mirrors _maybe_grow_capacity for the rasterizer's fixed duplication
@@ -598,7 +612,7 @@ class WildGaussians:
         """
         streak = self.__dict__.setdefault("_send_drop_streak", 0)
         self._send_drop_streak = streak + 1 if send_drops > 0 else 0
-        if self._send_drop_streak >= 10:
+        if self._send_drop_streak >= 10 and self.config.pallas_send_beta < 16:
             old_beta = self.config.pallas_send_beta
             self.config.pallas_send_beta = old_beta * 1.5
             logger.info(
@@ -615,16 +629,43 @@ class WildGaussians:
                                  if tile_overflow > 0 else 0)
         if self._overflow_streak < 10:
             return
+        self._overflow_streak = 0
+        # STALL DETECTION (round-4 fix): some scenes have gaussians whose
+        # footprints exceed ANY budget — without it the grow loop
+        # recompiles every 10 steps FOREVER with ever-larger tables
+        # (observed: 54 s -> 137 s recompiles at fixture scale). If the
+        # last grow did not shrink the overflow by >= 30%, or the budget
+        # hit the hard cap, latch saturated and keep training with the
+        # (surfaced) truncation.
+        if self.__dict__.get("_tile_budget_saturated", False):
+            return
+        prev = self.__dict__.get("_overflow_at_last_grow")
+        if ((prev is not None and tile_overflow > 0.7 * prev)
+                or self.config.max_tiles_per_gaussian >= 128):
+            self._tile_budget_saturated = True
+            logger.warning(
+                "Rasterizer overflow persists at %d after growing the tile "
+                "budget to %d (prev overflow %s): budget growth is not "
+                "converging — keeping the current budget; truncation stays "
+                "visible in the overflow metric",
+                int(tile_overflow), self.config.max_tiles_per_gaussian,
+                prev)
+            return
+        self._overflow_at_last_grow = tile_overflow
         old = self.config.max_tiles_per_gaussian
-        self.config.max_tiles_per_gaussian = int(old * 3 // 2) + 1
+        # grow straight to the scene's observed need (max raw tile rect,
+        # reported by the step) instead of 1.5x-stepping through several
+        # staged recompiles — each recompile costs tens of seconds
+        want = int(max_tiles) if max_tiles else old * 3 // 2
+        self.config.max_tiles_per_gaussian = min(max(old * 3 // 2,
+                                                     want) + 1, 128)
         self.config.pallas_big_fraction = min(
             self.config.pallas_big_fraction * 1.5, 1.0)
         logger.info(
-            "Persistent rasterizer overflow (%d steps): growing "
+            "Persistent rasterizer overflow (%d): growing "
             "max_tiles_per_gaussian %d -> %d, big_fraction -> %.3f "
-            "(staged recompile)", self._overflow_streak, old,
+            "(staged recompile)", int(tile_overflow), old,
             self.config.max_tiles_per_gaussian, self.config.pallas_big_fraction)
-        self._overflow_streak = 0
         self._step_cache.clear()
         self._render_fn.cache_clear()
 
