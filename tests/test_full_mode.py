@@ -89,3 +89,36 @@ def test_full_mode_checkpoint_roundtrip(full_method, tmp_path):
     a = method.render(dataset["cameras"][1])["color"]
     b = loaded.render(dataset["cameras"][1])["color"]
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_depth_pass_parity_across_backends(rng):
+    """The depth pass rides the color pipeline; under pack-v2 it is
+    max-normalized into the rgb10 range and rescaled after the blend
+    (models/renderer.py). Assert pallas depth ~= tiled depth within the
+    documented quantization budget (~max_depth/1024 + f16 terms)."""
+    import sys
+    from test_training import _make_synthetic_dataset
+    from wildgaussians_tpu.models.wildgaussians import WildGaussians
+
+    dataset, _ = _make_synthetic_dataset(rng, n_cams=3, width=64, height=48,
+                                         n_points=200)
+    depths = {}
+    for backend in ("tiled", "pallas"):
+        overrides = dict(
+            iterations=10, appearance_enabled=False,
+            uncertainty_mode="disabled", num_sky_gaussians=0, sh_degree=1,
+            rasterizer_backend=backend, position_lr_max_steps=10,
+        )
+        m = WildGaussians(train_dataset=dataset, config_overrides=overrides)
+        out = m.render(dataset["cameras"][0],
+                       options={"outputs": ("color", "depth")})
+        assert "depth" in out
+        depths[backend] = np.asarray(out["depth"])
+        assert np.isfinite(depths[backend]).all()
+    # only compare pixels with meaningful coverage (background depth is
+    # an arbitrary mix with zero accumulation)
+    acc = np.asarray(m.render(dataset["cameras"][0])["accumulation"])
+    covered = acc > 0.5
+    assert covered.mean() > 0.05
+    diff = np.abs(depths["pallas"] - depths["tiled"])[covered]
+    assert np.percentile(diff, 99) < 0.08, np.percentile(diff, 99)
