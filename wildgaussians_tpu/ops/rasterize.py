@@ -216,7 +216,11 @@ def render_static(binning: StaticBinning, n: int, width: int, height: int,
     # blend ran on normalized colors with bg folded in at scale: rescale
     # color (T is scale-free). bg was passed unnormalized to blend_fn, so
     # pass bg/scale and multiply out — out = scale*blend(c/s, bg/s).
+    # blend_fn output is PLANAR [4, T, P] (lane dim = P: the interleaved
+    # [T, P, OW] layout cost ~4 ms/frame of lane-8 relayout, round 4)
     pack = blend_fn(binning.table, binning.tile_starts, binning.tile_counts,
                     bg / binning.color_scale)[0]
-    return (tiles_to_image(pack[:, :, 0:3], grid) * binning.color_scale,
-            tiles_to_image(pack[:, :, 3], grid))
+    color = jnp.stack([tiles_to_image(pack[c], grid)
+                       for c in range(3)], axis=-1)
+    return (color * binning.color_scale,
+            tiles_to_image(pack[3], grid))

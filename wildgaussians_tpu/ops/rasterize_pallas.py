@@ -362,7 +362,7 @@ def _grad_width(n_passes: int) -> int:
 def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pack,
                 ebuf, sem,
                 *, grid: TileGrid, K: int, col0s: tuple = (6,), a0: int = 0,
-                packed: bool = False):
+                packed: bool = False, planar_out: bool = False):
     """Fused multi-pass tile blend: ALL color passes (raw / appearance-toned
     / depth, reference method.py:1573-1631) share ONE traversal — the
     alpha/transmittance recurrence (the expensive VPU part) is computed
@@ -435,9 +435,17 @@ def _fwd_kernel(tbase_ref, ndc_ref, starts_ref, counts_ref, entries_hbm, out_pac
                        jax.lax.rem(c_fin + j, _NBUF)).wait()
 
     ow = _out_width(np_)
-    out_pack[0, :, :] = jnp.concatenate(
+    pack = jnp.concatenate(
         [color, t_carry,
          jnp.zeros((P_PIX, ow - 3 * np_ - 1), jnp.float32)], axis=1)
+    if planar_out:
+        # channel-major [OW, P] block of a [T, OW, P] array: downstream
+        # XLA then works on lane-256 rows instead of a lane-8 minor dim
+        # (the [T, P, OW] layout costs ~4 ms of relayout per 0.92 Mpix
+        # frame in the static viewer path — measured round 4)
+        out_pack[0, :, :] = pack.T
+    else:
+        out_pack[0, :, :] = pack
 
 
 def _bwd_kernel_banded(tbase_ref, ndc_ref, starts_ref, counts_ref,
@@ -1303,6 +1311,35 @@ def _build_sorted_table(grid: TileGrid, K: int, n: int, d_max: int,
 
 
 @functools.lru_cache(maxsize=8)
+def _make_static_fwd_call(grid: TileGrid, K: int, R_pad: int, table_w: int,
+                          col0s, packed: bool):
+    """Fwd blend with PLANAR [OW, T, P] output for the static viewer path
+    (lane dim = P = 256 instead of OW = 8; see _fwd_kernel planar_out)."""
+    np_ = len(col0s)
+    OW = _out_width(np_)
+    T_tiles = grid.num_tiles
+    interpret = _interpret()
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, grid=grid, K=K, col0s=col0s, a0=0,
+                          packed=packed, planar_out=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(T_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=[pl.BlockSpec((1, OW, P_PIX), lambda i, *_: (i, 0, 0))],
+            scratch_shapes=[
+                pltpu.VMEM((_NBUF, table_w, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NBUF,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((T_tiles, OW, P_PIX), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def _make_static_renderer(grid: TileGrid, K: int, n: int, d_max: int,
                           n_passes: int = 1, d_small: int = 4,
                           big_fraction: float = 0.16, pack16: bool = True):
@@ -1321,8 +1358,8 @@ def _make_static_renderer(grid: TileGrid, K: int, n: int, d_max: int,
     (_d1, _d2, _m_cap, _R, R_pad, table_w, col0s,
      _depth_bits) = _sort_engine_sizes(grid, K, n, d_max, n_passes, d_small,
                                        big_fraction, pack16)
-    calls = _make_pallas_calls(grid, K, R_pad, table_w, tuple(col0s),
-                               packed=pack16, grad_packed=True)
+    call = _make_static_fwd_call(grid, K, R_pad, table_w, tuple(col0s),
+                                 pack16)
 
     def bin_fn(mean2d, conic, opacity, colors_stack, depth, rect_min,
                rect_max, tiles_touched, valid):
@@ -1333,15 +1370,16 @@ def _make_static_renderer(grid: TileGrid, K: int, n: int, d_max: int,
         return table, starts, counts
 
     def blend_fn(table, starts, counts, bg):
+        """Returns PLANAR [n_passes, 4, T, P] (color 0:3, final_T at 3)."""
         zb = jnp.zeros((1,), jnp.int32)
-        (pack,) = calls[0](zb, jnp.ones((2,), jnp.float32), starts, counts,
-                           table)
-        final_t = pack[:, :, 3 * n_passes]
+        (pack,) = call(zb, jnp.ones((2,), jnp.float32), starts, counts,
+                       table)                           # [T, OW, P]
+        final_t = pack[:, 3 * n_passes]                 # [T, P]
         return jnp.stack(
             [jnp.concatenate(
-                [pack[:, :, 3 * i:3 * i + 3]
-                 + final_t[..., None] * bg[None, None, :],
-                 final_t[..., None]], -1)
+                [jnp.moveaxis(pack[:, 3 * i:3 * i + 3], 1, 0)
+                 + final_t[None] * bg[:, None, None],
+                 final_t[None]], 0)
              for i in range(n_passes)])
 
     return bin_fn, blend_fn
