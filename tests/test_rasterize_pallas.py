@@ -286,15 +286,22 @@ def test_bwd_banded_grid_matches_sequential(rng):
             return jnp.sum(out.color * out.color) + jnp.sum(out.final_T)
         return jax.grad(loss)(args)
 
-    g_seq = grads()
-    old = rp._BWD_BANDS
+    import os
+    old = os.environ.get("WG_BWD_BANDS")
     try:
-        rp._BWD_BANDS = 2
+        os.environ["WG_BWD_BANDS"] = "1"
+        rp._make_pallas_calls.cache_clear()
+        rp._make_pallas_blend_vjp.cache_clear()
+        g_seq = grads()
+        os.environ["WG_BWD_BANDS"] = "2"
         rp._make_pallas_calls.cache_clear()
         rp._make_pallas_blend_vjp.cache_clear()
         g_band = grads()
     finally:
-        rp._BWD_BANDS = old
+        if old is None:
+            os.environ.pop("WG_BWD_BANDS", None)
+        else:
+            os.environ["WG_BWD_BANDS"] = old
         rp._make_pallas_calls.cache_clear()
         rp._make_pallas_blend_vjp.cache_clear()
     for gs, gb in zip(g_seq, g_band):
