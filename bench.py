@@ -316,8 +316,45 @@ def main():
     # BENCH_PASSES > 1: the real training shape — raw + appearance-toned
     # (+ depth) color sets sharing one sort and ONE fused kernel traversal
     n_bench_passes = int(os.environ.get("BENCH_PASSES", 1))
+    # BENCH_SATCULL=1: saturation-aware pre-sort cull (round 5). The
+    # previous frame's per-tile exit depths ride the carry chain as a
+    # supertile map that drops binning cells the walk would never reach;
+    # only bites on scenes that saturate (surfel/trained — random never
+    # does). Pair with a smaller BENCH_DSMALL to cash the cull into R.
+    satcull = bool(int(os.environ.get("BENCH_SATCULL", "0"))) \
+        and backend == "pallas" and binning == "sort"
+    fwd_only = bool(int(os.environ.get("BENCH_FWD_ONLY", "0")))
+    static = bool(int(os.environ.get("BENCH_STATIC", "0")))
+    if static:
+        satcull = False
 
-    if n_bench_passes > 1 and backend == "pallas":
+    if satcull:
+        from wildgaussians_tpu.ops.gaussians import preprocess, compute_cov3d
+        from wildgaussians_tpu.ops.rasterize_pallas import (
+            pool_sat_depth, rasterize_pallas_multi)
+        from wildgaussians_tpu.ops.rasterize_tiled import make_grid
+
+        grid = make_grid(w, h, 16)
+
+        def loss_fn(xyz, scales, rots, opac, colors, target, sat_super):
+            cov3d = compute_cov3d(scales, rots)
+            pre = preprocess(xyz, cov3d, opac, params, w, h, 0.1,
+                             tile_size=16)
+            csets = [jnp.roll(colors, i, axis=1)
+                     for i in range(n_bench_passes)]
+            outs, aux = rasterize_pallas_multi(
+                pre.mean2d, pre.conic, pre.opacity, csets,
+                jnp.zeros((xyz.shape[0], 2)), pre.depth, pre.rect_min,
+                pre.rect_max,
+                jnp.minimum(pre.tiles_touched, d_max), pre.valid,
+                jnp.zeros((3,)), grid=grid, chunk=chunk,
+                max_tiles_per_gaussian=d_max, d_small=d_small,
+                binning=binning, return_aux=True, sat_super=sat_super)
+            loss = sum(jnp.mean(jnp.abs(img - target)) for img, _t in outs)
+            new_map = pool_sat_depth(aux["sat_depth"], grid, margin=1.25)
+            return loss, (jnp.sum(jnp.minimum(pre.tiles_touched, d_max)),
+                          jnp.int32(0), new_map)
+    elif n_bench_passes > 1 and backend == "pallas":
         from wildgaussians_tpu.ops.gaussians import preprocess, compute_cov3d
         from wildgaussians_tpu.ops.rasterize_pallas import rasterize_pallas_multi
         from wildgaussians_tpu.ops.rasterize_tiled import make_grid
@@ -352,8 +389,6 @@ def main():
             return jnp.mean(jnp.abs(out.color - target)), (out.num_rendered,
                                                            out.overflow)
 
-    fwd_only = bool(int(os.environ.get("BENCH_FWD_ONLY", "0")))
-    static = bool(int(os.environ.get("BENCH_STATIC", "0")))
     # Frames are CHAINED through a scalar carry (prev frame's mean feeds the
     # next frame's bg/opacity as +0.0*carry): without a data dependence the
     # axon relay's block_until_ready on the LAST dispatch can return before
@@ -377,6 +412,18 @@ def main():
         def step(*a, carry):
             color, final_t = render(binning, carry)
             return (jnp.mean(color), (jnp.int32(0), jnp.int32(0))), (color,)
+    elif fwd_only and satcull:
+        # inference throughput with the saturation cull warm (the viewer
+        # regime: consecutive frames share a camera, so the previous
+        # frame's map applies exactly)
+        _f = jax.jit(loss_fn)
+
+        def step(*a, carry):
+            xyz, scales, rots, opac, colors, target = a
+            cs, cmap = carry
+            out = _f(xyz, scales, rots, opac + 0.0 * cs, colors, target,
+                     cmap)
+            return out, ()
     elif fwd_only:
         # inference throughput: render only, no gradients
         def fwd(xyz, scales, rots, opac, colors, carry):
@@ -390,7 +437,7 @@ def main():
         _fwd = jax.jit(fwd)
 
         def step(*a, carry):
-            color, aux = _fwd(*a[:-1], carry)
+            color, aux = _fwd(*a[:-1], carry[0])
             return (jnp.mean(color), aux), (color,)
     else:
         _vg = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
@@ -398,25 +445,40 @@ def main():
 
         def step(*a, carry):
             xyz, scales, rots, opac, colors, target = a
-            return _vg(xyz, scales, rots, opac + 0.0 * carry, colors, target)
+            cs, cmap = carry
+            if satcull:
+                return _vg(xyz, scales, rots, opac + 0.0 * cs, colors,
+                           target, cmap)
+            return _vg(xyz, scales, rots, opac + 0.0 * cs, colors, target)
+
+    if satcull:
+        from wildgaussians_tpu.ops.rasterize_pallas import supertile_shape
+        from wildgaussians_tpu.ops.rasterize_tiled import make_grid as _mg
+        sat0 = jnp.full(supertile_shape(_mg(w, h, 16)), jnp.inf, jnp.float32)
+    else:
+        sat0 = jnp.float32(0.0)   # unused placeholder
 
     def timed_run(sargs, target):
-        # warmup + compile (cached across scenes: same shapes)
-        carry = jnp.float32(0.0)
-        (loss, (num_rendered, overflow)), grads = step(*sargs, target,
-                                                       carry=carry)
+        # warmup + compile (cached across scenes: same shapes); 2 warmup
+        # steps under satcull so the map is warm before timing starts
+        carry = (jnp.float32(0.0), sat0)
+        (loss, aux), grads = step(*sargs, target, carry=carry)
+        if satcull:
+            (loss, aux), grads = step(*sargs, target,
+                                      carry=(loss, aux[2]))
         jax.block_until_ready(grads)
 
         def run(k):
             t0 = time.perf_counter()
-            carry = loss  # device scalar: links warmup to frame 0
+            carry = (loss, aux[2] if satcull else sat0)
             for _ in range(k):
                 (loss_, aux_), grads_ = step(*sargs, target, carry=carry)
-                carry = loss_
+                carry = (loss_, aux_[2] if satcull else sat0)
             jax.block_until_ready((carry, grads_))
             return (time.perf_counter() - t0) / k, loss_, aux_, grads_
 
-        dt, loss, (num_rendered, overflow), grads = run(iters)
+        dt, loss, aux, grads = run(iters)
+        num_rendered, overflow = aux[0], aux[1]
         # Sanity guard: a measurement below a third of the design's
         # speed-of-light model is a timing artifact, not a result. Retry
         # with a deeper queue; refuse to publish if it persists.

@@ -86,7 +86,7 @@ def main():
     def run(xyz, scales, rots, opac, colors):
         cov3d = compute_cov3d(scales, rots, 1.0)
         pre = preprocess(xyz, cov3d, opac, params, w, h, kernel_size=0.1)
-        table, _f, starts, counts, _b = _build_sorted_table(
+        table, _f, starts, counts, _b, _k = _build_sorted_table(
             grid, K, n, d_max, 1, d_small, bigf, True,
             pre.mean2d, pre.conic, pre.opacity, colors[None], pre.depth,
             pre.rect_min, pre.rect_max, jnp.minimum(pre.tiles_touched, d_max),

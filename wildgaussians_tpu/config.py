@@ -125,6 +125,16 @@ class Config:
     # rows (2x sort payload traffic); the quality A/B on the synthetic
     # scene measured no PSNR/densify difference (round 4, VERDICT r3 #9).
     pallas_pack16: bool = True
+    # Saturation-aware pre-sort culling (round 5): cache each camera's
+    # per-tile early-exit depths and drop binning cells behind them on the
+    # next visit. The blend kernels' early exit (forward.cu:367-372
+    # semantics) already skips the saturated tail at BLEND time; this
+    # shrinks the BINNING work too. Self-correcting (an over-culled walk
+    # stops saturating and the map resets to +inf) and invalidated on
+    # densify/prune/opacity-reset. Single-chip pallas sort engine only.
+    saturation_culling: bool = False
+    # keep-band multiplier on the recorded exit depths (>1 = conservative)
+    saturation_margin: float = 1.25
     # Sharded sort engine: per-(sender, band) all-to-all send capacity as a
     # multiple of the balanced load R_loc/D. Segments beyond the cap drop
     # (surfaced via the send_drops metric); the trainer auto-grows this on

@@ -33,6 +33,10 @@ class RenderPkg(NamedTuple):
     # largest raw tile rect in the scene this step: the EXACT budget the
     # overflow auto-grow needs, so one staged recompile suffices
     max_tiles: Any = 0
+    # per-tile saturation depths from the fwd kernel's early-exit telemetry
+    # (single-chip pallas sort engine only; feeds the next step's pre-sort
+    # cull via rasterize_pallas.pool_sat_depth)
+    sat_depth: Any = None
 
 
 def render_internal(gaussians: Dict[str, jnp.ndarray],
@@ -53,7 +57,8 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
                     backend: str = "auto",
                     chunk: int = 256,
                     batch_tiles: int = 64,
-                    max_tiles_per_gaussian: int = 0) -> RenderPkg:
+                    max_tiles_per_gaussian: int = 0,
+                    sat_super=None) -> RenderPkg:
     """One camera render. `gaussians` are post-activation (get_gaussians).
 
     width/height may be padded to the compile-shape; `actual_size` (w,h)
@@ -159,7 +164,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             grads_sharded=getattr(config, "shard_gaussian_store", False),
             send_beta=getattr(config, "pallas_send_beta", 2.0),
             pack16=getattr(config, "pallas_pack16", True),
-            return_aux=True, ndc_scale=ndc)
+            return_aux=True, ndc_scale=ndc, sat_super=sat_super)
         results = dict(zip([tag for tag, _c in passes], outs))
     else:
         binning = bin_gaussians(
@@ -192,7 +197,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
         d_small=getattr(config, "pallas_d_small", 4),
         big_fraction=getattr(config, "pallas_big_fraction", 0.16),
         binning=getattr(config, "pallas_binning", "sort"),
-        grid=grid)
+        grid=grid, sat_super=sat_super)
     # the sharded engine's send-cap drops are real truncated contributions
     send_drops = raster_aux.get("send_drops", 0)
     overflow = overflow + send_drops
@@ -201,4 +206,5 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
                      depth=depth, num_rendered=num_rendered,
                      overflow=overflow, send_drops=send_drops,
                      max_tiles=jnp.max(jnp.where(pre.valid,
-                                                 pre.tiles_touched, 0)))
+                                                 pre.tiles_touched, 0)),
+                     sat_depth=raster_aux.get("sat_depth"))

@@ -119,6 +119,7 @@ class WildGaussians:
         self._uncertainty = None
         self._overflow_streak = 0
         self._step_cache = {}  # (pad_w, pad_h) -> jitted train step
+        self._sat_caches = {}  # (pad_w, pad_h) -> [n_cams, sy, sx] sat maps
 
         # unsupported-combo guards (reference method.py:976-978)
         assert getattr(self.config, "appearance_model_2D", "disabled") == "disabled", \
@@ -219,6 +220,22 @@ class WildGaussians:
 
     # ------------------------------------------------------------- jitted step
 
+    def _sat_cache_for(self, pad_w: int, pad_h: int):
+        """Per-(camera, supertile) saturation-depth cache for one canvas
+        bucket, lazily +inf (= no culling until a camera's first visit
+        records its exit depths). Cleared on densify/prune/opacity-reset —
+        the mechanism is also self-correcting per camera (an over-culled
+        walk stops saturating and writes +inf back)."""
+        cache = self._sat_caches.get((pad_w, pad_h))
+        if cache is None:
+            from ..ops.rasterize_pallas import supertile_shape
+            from ..ops.rasterize_tiled import make_grid
+            sy, sx = supertile_shape(make_grid(pad_w, pad_h, 16))
+            cache = jnp.full((len(self.train_cameras), sy, sx), jnp.inf,
+                             jnp.float32)
+            self._sat_caches[(pad_w, pad_h)] = cache
+        return cache
+
     def _train_step_for(self, pad_w: int, pad_h: int):
         """Jitted train step for one padded-canvas bucket (cached)."""
         cached = self._step_cache.get((pad_w, pad_h))
@@ -228,18 +245,32 @@ class WildGaussians:
         self._step_cache[(pad_w, pad_h)] = fn
         return fn
 
+    def _use_satcull(self) -> bool:
+        """Static: the saturation cull runs only on the single-chip pallas
+        sort engine (the sharded engine keeps exact binning for now)."""
+        from ..parallel.mesh import current_mesh
+        config = self.config
+        backend = config.rasterizer_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+        return (getattr(config, "saturation_culling", False)
+                and backend == "pallas"
+                and getattr(config, "pallas_binning", "sort") == "sort"
+                and current_mesh() is None)
+
     def _build_train_step(self, pad_w: int, pad_h: int):
         config = self.config
         use_abs = config.use_gof_abs_gradient
         lambda_dssim = config.lambda_dssim
         spatial_lr_scale = self.spatial_lr_scale
+        use_satcull = self._use_satcull()
 
         uncertainty = self._uncertainty
         use_unc = uncertainty is not None
 
         def loss_and_render(params, m2d_hook, abs_hook, aux, camera_id, pose,
                             intr, actual_size, gt, pixmask, mask, iteration,
-                            unc_inputs):
+                            unc_inputs, sat_super):
             gaussians = gs.get_gaussians(params, aux, config)
             embedding = (params["appearance_embeddings"][camera_id]
                          if config.appearance_enabled else None)
@@ -247,7 +278,8 @@ class WildGaussians:
                 gaussians, params, aux.active_sh_degree, aux.alive, config,
                 pose, intr, pad_w, pad_h, embedding=embedding,
                 kernel_size=config.kernel_size, mean2d_hook=m2d_hook,
-                absgrad_hook=abs_hook, actual_size=actual_size)
+                absgrad_hook=abs_hook, actual_size=actual_size,
+                sat_super=sat_super)
             image_toned = pkg.render * pixmask[..., None]
             image = pkg.raw_render * pixmask[..., None]
             if mask is not None:
@@ -325,7 +357,7 @@ class WildGaussians:
 
         def train_step(params, adam, aux, camera_id, gt, pixmask,
                        mask, iteration, densify_enabled, poses, intrs, sizes,
-                       unc_inputs):
+                       unc_inputs, sat_cache=None):
             # under a mesh, the store lives sharded on the Gaussian axis:
             # constraining inputs AND outputs keeps params/Adam/aux (and all
             # elementwise per-Gaussian work between them) at 1/D memory per
@@ -344,10 +376,12 @@ class WildGaussians:
             m2d_hook = jnp.zeros((n, 2), jnp.float32)
             abs_hook = jnp.zeros((n, 2), jnp.float32)
 
+            sat_super = sat_cache[camera_id] if use_satcull else None
             grad_fn = jax.grad(loss_and_render, argnums=(0, 1, 2), has_aux=True)
             (gparams, g_m2d, g_abs), (pkg, metrics, new_bn) = grad_fn(
                 params, m2d_hook, abs_hook, aux, camera_id, pose, intr,
-                actual_size, gt, pixmask, mask, iteration, unc_inputs)
+                actual_size, gt, pixmask, mask, iteration, unc_inputs,
+                sat_super)
 
             # densification stats (reference method.py:1995-1998). The hook
             # gradients are in PIXEL units; the reference CUDA rasterizer
@@ -387,6 +421,14 @@ class WildGaussians:
             metrics["max_tiles"] = jnp.asarray(pkg.max_tiles)
             # in-step so the host never issues an extra dispatch for it
             metrics["num_gaussians"] = jnp.sum(aux.alive)
+            if use_satcull:
+                from ..ops.rasterize_pallas import pool_sat_depth
+                from ..ops.rasterize_tiled import make_grid
+                new_map = pool_sat_depth(
+                    pkg.sat_depth, make_grid(pad_w, pad_h, 16),
+                    margin=getattr(config, "saturation_margin", 1.25))
+                sat_cache = sat_cache.at[camera_id].set(new_map)
+                return params, adam, aux, metrics, new_bn, sat_cache
             return params, adam, aux, metrics, new_bn
 
         # Pin the OUTPUT shardings of the store explicitly: letting GSPMD
@@ -396,9 +438,11 @@ class WildGaussians:
         # mismatches / IndexError during argument sharding). With pinned
         # out_shardings (and _commit_store_to_mesh pinning the first call's
         # inputs) every step has an identical signature.
-        return jax.jit(train_step, donate_argnums=(0, 1, 2),
+        return jax.jit(train_step,
+                       donate_argnums=(0, 1, 2, 13) if use_satcull
+                       else (0, 1, 2),
                        out_shardings=self._store_out_shardings(
-                           n_extra_outputs=2))
+                           n_extra_outputs=3 if use_satcull else 2))
 
     @functools.cached_property
     def _densify_fn(self):
@@ -490,11 +534,22 @@ class WildGaussians:
 
         densify_enabled = iteration < self.config.densify_until_iter
         bw, bh = self._pad_wh[camera_id]
-        self.params, self.adam, self.aux, metrics, new_bn = self._train_step_for(bw, bh)(
-            self.params, self.adam, self.aux, jnp.int32(camera_id), gt,
-            pixmask, mask, jnp.float32(iteration),
-            jnp.bool_(densify_enabled), self._poses_dev, self._intr_dev,
-            self._sizes_dev, unc_inputs)
+        if self._use_satcull():
+            cache = self._sat_cache_for(bw, bh)
+            (self.params, self.adam, self.aux, metrics, new_bn,
+             new_cache) = self._train_step_for(bw, bh)(
+                self.params, self.adam, self.aux, jnp.int32(camera_id), gt,
+                pixmask, mask, jnp.float32(iteration),
+                jnp.bool_(densify_enabled), self._poses_dev, self._intr_dev,
+                self._sizes_dev, unc_inputs, cache)
+            self._sat_caches[(bw, bh)] = new_cache
+        else:
+            self.params, self.adam, self.aux, metrics, new_bn = \
+                self._train_step_for(bw, bh)(
+                    self.params, self.adam, self.aux, jnp.int32(camera_id),
+                    gt, pixmask, mask, jnp.float32(iteration),
+                    jnp.bool_(densify_enabled), self._poses_dev,
+                    self._intr_dev, self._sizes_dev, unc_inputs)
         if new_bn is not None:
             self._uncertainty.bn_state = new_bn
 
@@ -509,9 +564,11 @@ class WildGaussians:
                     jnp.bool_(iteration > self.config.opacity_reset_interval))
                 self._maybe_grow_capacity(dstats)
                 self._refresh_filter()
+                self._sat_caches.clear()   # scene changed: re-learn sat maps
             if iteration % self.config.opacity_reset_interval == 0:
                 self.params, self.adam = self._reset_opacity_fn(
                     self.params, self.adam, self.aux)
+                self._sat_caches.clear()   # opacities reset: nothing saturates
         elif (iteration % 100 == 0 and iteration < self.config.iterations - 100):
             self._refresh_filter()
 

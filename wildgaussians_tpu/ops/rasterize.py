@@ -28,7 +28,7 @@ def mark_visible(means3d: jnp.ndarray, camera: CameraParams) -> jnp.ndarray:
 
 def overflow_count(pre, backend: str, max_tiles_per_gaussian: int,
                    *, d_small: int = 4, big_fraction: float = 0.16,
-                   binning: str = "sort", grid=None):
+                   binning: str = "sort", grid=None, sat_super=None):
     """Truncated-contribution count, two-tier-aware for the pallas backend.
 
     Counts (a) Gaussians whose tile rect exceeds max_tiles_per_gaussian and
@@ -52,7 +52,8 @@ def overflow_count(pre, backend: str, max_tiles_per_gaussian: int,
             vis = visible_cell_counts(
                 pre.mean2d, pre.conic, pre.opacity, pre.rect_min,
                 pre.rect_max, pre.tiles_touched, pre.valid, grid,
-                max_tiles_per_gaussian)
+                max_tiles_per_gaussian, sat_super=sat_super,
+                depth=pre.depth)
             n_big = jnp.sum(vis > d_small)
             overflow = overflow + jnp.maximum(n_big - m_cap, 0)
         return overflow
