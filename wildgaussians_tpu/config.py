@@ -140,6 +140,12 @@ class Config:
     # (surfaced via the send_drops metric); the trainer auto-grows this on
     # persistent drops (_maybe_grow_tile_budget).
     pallas_send_beta: float = 2.0
+    # Sharded sort engine: merge the D pre-sorted receive streams with a
+    # bitonic merge network + recorded-bits inverse replay (ops/bitonic.py)
+    # instead of re-sorting the RB receive table each way. Bit-identical
+    # to the sort path (index-tiebreak == stable sort); False restores
+    # the round-4 two-sort receiver for A/B.
+    pallas_stream_merge: bool = True
     # Total duplicated (gaussian, tile) key capacity as a multiple of capacity.
     binning_capacity_multiplier: float = 8.0
     # Depth sort: "quantized" (fused u32 key, fast) or "exact" (full f32 key).

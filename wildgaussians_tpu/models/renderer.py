@@ -163,6 +163,7 @@ def render_internal(gaussians: Dict[str, jnp.ndarray],
             mesh=current_mesh(),
             grads_sharded=getattr(config, "shard_gaussian_store", False),
             send_beta=getattr(config, "pallas_send_beta", 2.0),
+            stream_merge=getattr(config, "pallas_stream_merge", True),
             pack16=getattr(config, "pallas_pack16", True),
             return_aux=True, ndc_scale=ndc, sat_super=sat_super)
         results = dict(zip([tag for tag, _c in passes], outs))

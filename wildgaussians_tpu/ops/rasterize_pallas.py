@@ -1768,7 +1768,8 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                                  big_fraction: float = 0.16,
                                  mesh=None, mesh_axis: str = "tiles",
                                  pack16: bool = True, send_beta: float = 2.0,
-                                 grads_sharded: bool = False):
+                                 grads_sharded: bool = False,
+                                 stream_merge: bool = True):
     """Gaussian-sharded sort engine (v5): the production binning under a mesh.
 
     The TPU-native analogue of multi-GPU Gaussian splatting: Gaussians are
@@ -1831,7 +1832,16 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
     C = min(_round_up(R_loc, 128),
             _round_up(max(int(R_loc * send_beta / D), 2 * K), 128))
     RB = D * C                       # receive-table entries per device
-    RB_pad = _round_up(RB, K) + 2 * K
+    # round-5 D-stream merge (ops/bitonic.py): the receiver merges its D
+    # pre-sorted streams through a bitonic merge network with recorded
+    # swap bits instead of re-sorting RB entries from scratch; the
+    # backward replays the network in reverse (exact inverse) instead of
+    # a second un-sort. Streams pad to pow2 for the network.
+    from wildgaussians_tpu.ops import bitonic
+    C2 = bitonic._pow2ceil(C)
+    D2 = bitonic._pow2ceil(D)
+    RB_eff = D2 * C2 if stream_merge else RB
+    RB_pad = _round_up(RB_eff, K) + 2 * K
     ts = float(grid.tile_size)
 
     if pack16:
@@ -1899,19 +1909,27 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
                                side="left").astype(jnp.int32)
         recv = _send([skey] + [_as_u32(p) for p in payload], seg)
 
-        ridx = jnp.arange(RB, dtype=jnp.int32)
-        rops = jax.lax.sort((recv[0], ridx,
-                             *[recv[1 + i] for i in range(len(payload))]),
-                            num_keys=1)
-        rkey, ridx_sorted = rops[0], rops[1]
-        rows = [jax.lax.bitcast_convert_type(o, jnp.float32)[None, :]
-                for o in rops[2:]]
+        if stream_merge:
+            padded, _, _ = bitonic.pad_streams(recv, D, C, SENT)
+            rkey, mrows, route = bitonic.bitonic_merge(
+                padded[0], padded[1:], D2)
+            rows = [jax.lax.bitcast_convert_type(mrows[i], jnp.float32)[
+                None, :] for i in range(len(payload))]
+        else:
+            ridx = jnp.arange(RB, dtype=jnp.int32)
+            rops = jax.lax.sort(
+                (recv[0], ridx,
+                 *[recv[1 + i] for i in range(len(payload))]), num_keys=1)
+            rkey, route = rops[0], rops[1]
+            rows = [jax.lax.bitcast_convert_type(o, jnp.float32)[None, :]
+                    for o in rops[2:]]
         pad_rows = table_w - len(rows)
         if pad_rows:
-            rows = rows + [jnp.zeros((pad_rows, RB), jnp.float32)]
+            rows = rows + [jnp.zeros((pad_rows, RB_eff), jnp.float32)]
         table = jnp.concatenate(rows, axis=0)
         table = jnp.concatenate(
-            [table, jnp.zeros((table_w, RB_pad - RB), jnp.float32)], axis=1)
+            [table, jnp.zeros((table_w, RB_pad - RB_eff), jnp.float32)],
+            axis=1)
 
         my_t0 = jax.lax.axis_index(mesh_axis).astype(jnp.uint32) * T_band
         bounds = ((my_t0 + jnp.arange(T_band + 1, dtype=jnp.uint32))
@@ -1929,14 +1947,14 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         seg_sizes = seg[1:] - seg[:-1]
         send_drops = jax.lax.psum(
             jnp.sum(jnp.maximum(seg_sizes - C, 0)), mesh_axis)
-        res = (table[None], ridx_sorted[None], seg[None], sflat[None],
+        res = (table[None], route[None], seg[None], sflat[None],
                big_list[None], starts[None])
         return (pack_stack, send_drops) + res
 
-    def sbwd(table, ridx_sorted, seg, sflat, big_list, starts, pack_stack,
+    def sbwd(table, route, seg, sflat, big_list, starts, pack_stack,
              gC, gT, bg, ndc_scale):
-        (table, ridx_sorted, seg, sflat, big_list, starts) = (
-            table[0], ridx_sorted[0], seg[0], sflat[0], big_list[0],
+        (table, route, seg, sflat, big_list, starts) = (
+            table[0], route[0], seg[0], sflat[0], big_list[0],
             starts[0])
         counts = starts[1:] - starts[:-1]
         my_t0 = jax.lax.axis_index(mesh_axis).astype(jnp.int32) * T_band
@@ -1961,9 +1979,9 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
 
         n_rows = _grad_rows(n_passes)
         n_packed = (n_rows + 1) // 2
-        covered = jnp.arange(RB, dtype=jnp.int32) < starts[T_band]
+        covered = jnp.arange(RB_eff, dtype=jnp.int32) < starts[T_band]
         packed = [jnp.where(covered,
-                            jax.lax.bitcast_convert_type(eg[j, :RB],
+                            jax.lax.bitcast_convert_type(eg[j, :RB_eff],
                                                          jnp.uint32),
                             jnp.uint32(0))
                   for j in range(n_packed)]
@@ -1971,11 +1989,18 @@ def _make_sharded_sort_blend_vjp(grid: TileGrid, K: int, n: int, d_max: int,
         # receive order <- band-sorted order, then reverse the all-to-all:
         # chunk b of `back` = gradients of the entries I sent to band b,
         # in my send order (positions seg[b] + i of my local sort)
-        # ridx_sorted is a permutation of the receive iota (unique keys):
-        # unstable sort is result-identical and one payload row cheaper
-        un = jax.lax.sort((ridx_sorted, *packed), num_keys=1,
-                          is_stable=False)
-        back = jax.lax.all_to_all(jnp.stack(un[1:]), mesh_axis,
+        if stream_merge:
+            # replay the recorded merge network in reverse: exact inverse
+            # routing at compare-free select cost, no second RB sort
+            un_rows = bitonic.replay_inverse(route, jnp.stack(packed), D2)
+            un_rows = bitonic.unpad_streams(un_rows, D, C, C2, D2)
+        else:
+            # route is the receive iota permutation (unique keys):
+            # unstable sort is result-identical, one payload row cheaper
+            un = jax.lax.sort((route, *packed), num_keys=1,
+                              is_stable=False)
+            un_rows = jnp.stack(un[1:])
+        back = jax.lax.all_to_all(un_rows, mesh_axis,
                                   split_axis=1, concat_axis=1, tiled=True)
 
         # slot restore, round 4 ("copy-restore", tools/scaling_model.py):
@@ -2726,6 +2751,7 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
                            grads_sharded: bool = False,
                            return_aux: bool = False,
                            send_beta: float = 2.0,
+                           stream_merge: bool = True,
                            ndc_scale=None, sat_super=None):
     """Render several color sets over one shared sorted geometry.
 
@@ -2783,7 +2809,8 @@ def rasterize_pallas_multi(mean2d, conic, opacity, colors_list, absgrad_hook,
         blend = _make_sharded_sort_blend_vjp(
             grid, chunk, n, max_tiles_per_gaussian, len(colors_list),
             d_small, big_fraction, mesh, mesh_axis, pack16,
-            send_beta=send_beta, grads_sharded=grads_sharded)
+            send_beta=send_beta, grads_sharded=grads_sharded,
+            stream_merge=stream_merge)
     elif binning == "partition":
         # the partition/gather engines bin raw rect cells (no corner-cull
         # compaction), so they need the raw-rect slot budget: the default
